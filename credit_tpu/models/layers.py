@@ -1,0 +1,397 @@
+"""Shared flax building blocks: spectrally-normalized conv/dense layers,
+conv-channel LayerNorm, dynamic position bias, transformer blocks, decoder
+up-blocks.
+
+Design notes vs the reference (credit/models/wxformer/crossformer.py):
+  - channels-last everywhere; 1x1 convs become Dense (identical math, better
+    MXU mapping).
+  - spectral norm is explicit state: `u`/`v` vectors live in the 'spectral'
+    variable collection; one power iteration runs per forward when train=True
+    (torch nn.utils.spectral_norm semantics: iterate in train, reuse stored
+    vectors in eval — reference applies it to every conv/linear via
+    apply_spectral_norm, crossformer.py:23).
+  - params are fp32; compute dtype is a module attribute (bf16 for speed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from credit_tpu.ops import conv as conv_ops
+from credit_tpu.ops import window_attention as wa
+from credit_tpu.ops.upsample import icnr_kernel_init, pixel_shuffle
+
+Dtype = Any
+
+
+def _l2norm(x, eps=1e-12):
+    return x / (jnp.linalg.norm(x) + eps)
+
+
+class SNMixin:
+    """Spectral-norm machinery shared by conv/dense layers.
+
+    sigma = u . (W v) with W the kernel reshaped to (out_features, -1);
+    matches torch's old-API spectral_norm (power iteration order:
+    v = normalize(W^T u); u = normalize(W v)).
+    """
+
+    def _sn_kernel(self, kernel: jnp.ndarray, update: bool) -> jnp.ndarray:
+        out_f = kernel.shape[-1]
+        w2d = kernel.reshape(-1, out_f).T.astype(jnp.float32)  # (O, rest)
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: _l2norm(jax.random.normal(self.make_rng("params"), (w2d.shape[0],), jnp.float32)))
+        v_var = self.variable(
+            "spectral", "v",
+            lambda: _l2norm(jax.random.normal(self.make_rng("params"), (w2d.shape[1],), jnp.float32)))
+        u, v = u_var.value, v_var.value
+        # NOTE: at init u/v are random unit vectors; call
+        # credit_tpu.models.spectral_utils.converge_spectral(variables) after
+        # init (host-side numpy, no XLA cost) so sigma starts as a true
+        # spectral estimate. Training forwards then keep them converged via
+        # the one-step power iteration below (torch semantics).
+        if update and not self.is_initializing():
+            w_sg = jax.lax.stop_gradient(w2d)
+            v = _l2norm(w_sg.T @ u)
+            u = _l2norm(w_sg @ v)
+            u_var.value = u
+            v_var.value = v
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = jnp.dot(u, w2d @ v)
+        return (kernel.astype(jnp.float32) / sigma).astype(kernel.dtype)
+
+
+class SNConv(nn.Module, SNMixin):
+    """2-D conv, torch-style symmetric padding, optional spectral norm."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 0
+    use_bias: bool = True
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.he_uniform()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ks = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) else (self.kernel_size,) * 2
+        kernel = self.param("kernel", self.kernel_init, (*ks, x.shape[-1], self.features))
+        if self.use_sn:
+            kernel = self._sn_kernel(kernel, update=train)
+        bias = self.param("bias", self.bias_init, (self.features,)) if self.use_bias else None
+        x = x.astype(self.dtype)
+        return conv_ops.conv2d(x, kernel.astype(self.dtype), bias, self.strides, self.padding)
+
+
+class SNConvTranspose(nn.Module, SNMixin):
+    """Transposed 2-D conv with exact torch ConvTranspose2d output semantics."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (2, 2)
+    padding: int = 0
+    use_bias: bool = True
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.he_uniform()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ks = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) else (self.kernel_size,) * 2
+        # kernel stored (kh, kw, in, out); SN rows = out features is the last
+        # axis, matching torch's dim=1 choice for ConvTranspose (out channels).
+        kernel = self.param("kernel", self.kernel_init, (*ks, x.shape[-1], self.features))
+        if self.use_sn:
+            kernel = self._sn_kernel(kernel, update=train)
+        bias = self.param("bias", self.bias_init, (self.features,)) if self.use_bias else None
+        x = x.astype(self.dtype)
+        return conv_ops.conv_transpose2d(x, kernel.astype(self.dtype), bias, self.strides, self.padding)
+
+
+class SNDense(nn.Module, SNMixin):
+    features: int
+    use_bias: bool = True
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.he_uniform()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
+        if self.use_sn:
+            kernel = self._sn_kernel(kernel, update=train)
+        x = x.astype(self.dtype)
+        y = jnp.einsum("...i,io->...o", x, kernel.astype(self.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", self.bias_init, (self.features,)).astype(self.dtype)
+        return y
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis with biased variance, eps 1e-5.
+
+    Equivalent to the reference's conv-channel LayerNorm
+    (crossformer.py:221) in channels-last layout. Stats in fp32.
+    """
+
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],))
+        b = self.param("bias", nn.initializers.zeros_init(), (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * g + b).astype(self.dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm matching torch defaults (eps=1e-5), channels-last."""
+
+    num_groups: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.param("scale", nn.initializers.ones_init(), (c,))
+        b = self.param("bias", nn.initializers.zeros_init(), (c,))
+        shape = x.shape
+        xf = x.astype(jnp.float32).reshape(shape[0], -1, self.num_groups, c // self.num_groups)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        return (y * g + b).astype(self.dtype)
+
+
+class DynamicPositionBias(nn.Module):
+    """MLP on relative (dy, dx) offsets -> scalar bias per offset.
+
+    Structure parity with reference crossformer.py:197: three
+    Linear+LayerNorm+ReLU blocks then Linear->1. All linears spectrally
+    normalized like the rest of the model.
+    """
+
+    dim: int
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rel: jnp.ndarray, train: bool = False):
+        x = rel.astype(self.dtype)
+        for i in range(3):
+            x = SNDense(self.dim, use_sn=self.use_sn, dtype=self.dtype, name=f"fc{i}")(x, train)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.relu(x)
+        x = SNDense(1, use_sn=self.use_sn, dtype=self.dtype, name="fc_out")(x, train)
+        return x[..., 0]
+
+
+class WindowAttention(nn.Module):
+    """Short (windowed) or long (dilated-grid) multi-head attention.
+
+    Pre-norm + qkv projection + windowed attention with dynamic relative
+    position bias + output projection (reference crossformer.py:254 Attention).
+    """
+
+    dim: int
+    attn_type: str  # 'short' | 'long'
+    window_size: int
+    dim_head: int = 32
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        wsz = self.window_size
+        heads = self.dim // self.dim_head
+        inner = heads * self.dim_head
+
+        x = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
+
+        xw = wa.window_partition(x, wsz, self.attn_type)  # (b, nwin, t, c)
+        qkv = SNDense(inner * 3, use_bias=False, use_sn=self.use_sn,
+                      dtype=self.dtype, name="to_qkv")(xw, train)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # dynamic position bias: tiny MLP on the static offset grid
+        rel = jnp.asarray(wa.relative_position_grid(wsz))
+        biases = DynamicPositionBias(self.dim // 4, use_sn=self.use_sn,
+                                     dtype=jnp.float32, name="dpb")(rel, train)
+        idx = jnp.asarray(wa.relative_position_index(wsz))
+        # reference indexes the (2w-1)^2 sub-table out of the (2w+1)^2 grid
+        # (crossformer.py:356-361): bias table is biases[rel_pos_indices] where
+        # rel_pos_indices was built with stride (2*wsz - 1). Reproduce exactly:
+        bias = biases[idx]
+
+        out = wa.window_attention(q, k, v, bias, heads)
+        out = SNDense(self.dim, use_sn=self.use_sn, dtype=self.dtype,
+                      name="to_out")(out, train)
+        return wa.window_unpartition(out, wsz, h, w, self.attn_type)
+
+
+class FeedForward(nn.Module):
+    """LN -> Dense(4d) -> GELU(exact) -> Dense(d) (reference crossformer.py:234)."""
+
+    dim: int
+    mult: int = 4
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
+        y = SNDense(self.dim * self.mult, use_sn=self.use_sn, dtype=self.dtype, name="fc1")(y, train)
+        y = nn.gelu(y, approximate=False)
+        y = SNDense(self.dim, use_sn=self.use_sn, dtype=self.dtype, name="fc2")(y, train)
+        return y
+
+
+class Transformer(nn.Module):
+    """depth x (short-attn, FF, long-attn, FF) with residuals
+    (reference crossformer.py:406)."""
+
+    dim: int
+    depth: int
+    local_window_size: int
+    global_window_size: int
+    dim_head: int = 32
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.depth):
+            blocks = [
+                WindowAttention(self.dim, "short", self.local_window_size,
+                                self.dim_head, self.use_sn, self.dtype, name=f"short_attn{i}"),
+                FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype, name=f"short_ff{i}"),
+                WindowAttention(self.dim, "long", self.global_window_size,
+                                self.dim_head, self.use_sn, self.dtype, name=f"long_attn{i}"),
+                FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype, name=f"long_ff{i}"),
+            ]
+            for blk in blocks:
+                if self.remat:
+                    # bind `train` in a closure so it stays a static Python bool
+                    x = nn.remat(lambda mdl, y: mdl(y, train))(blk, x) + x
+                else:
+                    x = blk(x, train) + x
+        return x
+
+
+class CrossEmbedLayer(nn.Module):
+    """Multi-kernel strided conv patch embed; concatenated scale pyramid
+    (reference crossformer.py:167). All kernels share the stride; padding
+    (k - s) // 2 keeps output H/s x W/s."""
+
+    dim_out: int
+    kernel_sizes: Sequence[int]
+    stride: int = 2
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ks = sorted(self.kernel_sizes)
+        n = len(ks)
+        dim_scales = [self.dim_out // (2 ** i) for i in range(1, n)]
+        dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
+        outs = []
+        for i, (k, d) in enumerate(zip(ks, dim_scales)):
+            outs.append(SNConv(d, (k, k), (self.stride, self.stride),
+                               padding=(k - self.stride) // 2, use_sn=self.use_sn,
+                               dtype=self.dtype, name=f"conv{i}")(x, train))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class UpBlock(nn.Module):
+    """ConvTranspose(2,2) upsample + residual conv stack (+GroupNorm+SiLU)
+    (reference crossformer.py:92)."""
+
+    out_chans: int
+    num_groups: int
+    num_residuals: int = 2
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SNConvTranspose(self.out_chans, (2, 2), (2, 2), 0, use_sn=self.use_sn,
+                            dtype=self.dtype, name="up")(x, train)
+        shortcut = x
+        for i in range(self.num_residuals):
+            x = SNConv(self.out_chans, (3, 3), (1, 1), 1, use_sn=self.use_sn,
+                       dtype=self.dtype, name=f"res_conv{i}")(x, train)
+            x = GroupNorm(self.num_groups, dtype=self.dtype, name=f"res_gn{i}")(x)
+            x = nn.silu(x)
+        return x + shortcut
+
+
+class UpBlockPS(nn.Module):
+    """PixelShuffle (sub-pixel conv, ICNR init) upsample + sharpen + residual
+    stack (reference crossformer.py:136 UpBlockPS)."""
+
+    out_chans: int
+    num_groups: int
+    scale: int = 2
+    num_residuals: int = 2
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = self.scale
+        x = SNConv(self.out_chans * r * r, (3, 3), (1, 1), 1, use_sn=self.use_sn,
+                   dtype=self.dtype, kernel_init=icnr_kernel_init(r),
+                   name="ps_conv")(x, train)
+        x = pixel_shuffle(x, r)
+        sharp = SNConv(self.out_chans, (3, 3), (1, 1), 1, use_sn=self.use_sn,
+                       dtype=self.dtype, kernel_init=nn.initializers.xavier_normal(),
+                       name="sharp")(x, train)
+        x = x + sharp
+        sc = x
+        for i in range(self.num_residuals):
+            x = SNConv(self.out_chans, (3, 3), (1, 1), 1, use_sn=self.use_sn,
+                       dtype=self.dtype, name=f"res_conv{i}")(x, train)
+            x = GroupNorm(self.num_groups, dtype=self.dtype, name=f"res_gn{i}")(x)
+            x = nn.silu(x)
+        return x + sc
+
+
+class CubeEmbedding(nn.Module):
+    """Conv3d patch embed over (time, lat, lon) + LayerNorm over embed dim
+    (reference crossformer.py:31). Input (B, T, H, W, C)."""
+
+    embed_dim: int
+    patch_size: Tuple[int, int, int]  # (t, lat, lon)
+    use_sn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kernel = self.param(
+            "kernel", nn.initializers.he_uniform(),
+            (*self.patch_size, x.shape[-1], self.embed_dim))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.embed_dim,))
+        y = conv_ops.conv3d(x.astype(self.dtype), kernel.astype(self.dtype), bias,
+                            stride=self.patch_size, padding=0)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
+        return y

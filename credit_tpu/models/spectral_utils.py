@@ -1,0 +1,75 @@
+"""Host-side spectral-norm state utilities.
+
+Spectral-norm u/v vectors live in the 'spectral' variable collection,
+mirroring the params tree (see layers.SNMixin). `converge_spectral` runs the
+power iteration to convergence in numpy after `model.init` — so the first
+forward already divides by a true spectral-norm estimate (the reference
+reaches the same state via per-forward power iterations,
+reference: credit/models/wxformer/crossformer.py:23 apply_spectral_norm).
+Doing it host-side keeps the init XLA graph small (compiling ~60 tiny
+while-loops into one module is pathologically slow on XLA-CPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _l2(x, eps=1e-12):
+    return x / (np.linalg.norm(x) + eps)
+
+
+def converge_spectral(variables: Dict[str, Any], n_iter: int = 30) -> Dict[str, Any]:
+    """Return a copy of `variables` with spectral u/v converged against the
+    current params. Structure: spectral subtree mirrors params subtree; each
+    SN layer holds {'u': (O,), 'v': (rest,)} beside params {'kernel': ...}."""
+    if "spectral" not in variables:
+        return variables
+    params = variables["params"]
+    spectral = jax.tree_util.tree_map(np.asarray, variables["spectral"])
+
+    def walk(spec: dict, prm: dict):
+        if "u" in spec and "v" in spec and "kernel" in prm:
+            k = np.asarray(prm["kernel"], np.float64)
+            w2d = k.reshape(-1, k.shape[-1]).T  # (O, rest)
+            u, v = np.asarray(spec["u"], np.float64), np.asarray(spec["v"], np.float64)
+            for _ in range(n_iter):
+                v = _l2(w2d.T @ u)
+                u = _l2(w2d @ v)
+            spec["u"] = u.astype(np.float32)
+            spec["v"] = v.astype(np.float32)
+            return
+        for key, sub in spec.items():
+            if isinstance(sub, dict) and key in prm:
+                walk(sub, prm[key])
+
+    walk(spectral, jax.tree_util.tree_map(np.asarray, params))
+    out = dict(variables)
+    out["spectral"] = spectral
+    return out
+
+
+def spectral_sigmas(variables: Dict[str, Any]) -> Dict[str, float]:
+    """Diagnostic: map of flattened layer path -> current sigma estimate."""
+    out = {}
+    if "spectral" not in variables:
+        return out
+    params = variables["params"]
+
+    def walk(spec, prm, path):
+        if isinstance(spec, dict) and "u" in spec and "kernel" in prm:
+            k = np.asarray(prm["kernel"])
+            w2d = k.reshape(-1, k.shape[-1]).T
+            sigma = float(np.asarray(spec["u"]) @ (w2d @ np.asarray(spec["v"])))
+            out[path] = sigma
+            return
+        if isinstance(spec, dict):
+            for key, sub in spec.items():
+                if key in prm:
+                    walk(sub, prm[key], f"{path}/{key}" if path else key)
+
+    walk(variables["spectral"], params, "")
+    return out

@@ -1,0 +1,95 @@
+"""Functional 2-D convolution primitives, channels-last (NHWC / HWIO).
+
+These wrap lax.conv_general_dilated with the exact output-size semantics of
+the reference's torch layers (reference: credit/models/wxformer/crossformer.py
+uses Conv2d(k, stride, padding=(k-s)//2) for patch embeds and
+ConvTranspose2d(k=2,s=2) / (k=4,s=2,p=1) for the decoder), so converted
+checkpoints produce identical activations. The MXU path: XLA lowers these to
+implicit-GEMM convs on the systolic array; keep channels a multiple of 128
+where possible for full tiling.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return int(v[0]), int(v[1])
+    return int(v), int(v)
+
+
+def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
+           padding: Union[int, Sequence[int], str] = 0,
+           accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Conv with torch-style symmetric integer padding.
+
+    x: (N, H, W, Cin); kernel: (kh, kw, Cin, Cout).
+    """
+    s = _pair(stride)
+    if isinstance(padding, str):
+        pad = padding
+    else:
+        ph, pw = _pair(padding)
+        pad = ((ph, ph), (pw, pw))
+    out = lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=s, padding=pad,
+        dimension_numbers=_DN, preferred_element_type=accum_dtype,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=2,
+                     padding: Union[int, Sequence[int]] = 0,
+                     accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Transposed conv with exact torch ConvTranspose2d semantics.
+
+    x: (N, H, W, Cin); kernel: (kh, kw, Cin, Cout) — note (in, out) order kept
+    from the forward-conv convention; we flip spatially and express the
+    transpose as an input-dilated conv:
+      out = (H - 1) * stride - 2 * padding + k
+    """
+    s = _pair(stride)
+    ph, pw = _pair(padding)
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    k_flip = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
+    out = lax.conv_general_dilated(
+        x, k_flip,
+        window_strides=(1, 1),
+        padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+        lhs_dilation=s,
+        dimension_numbers=_DN,
+        preferred_element_type=accum_dtype,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=(1, 1, 1),
+           padding=0, accum_dtype=jnp.float32) -> jnp.ndarray:
+    """3-D conv, channels-last: x (N, D, H, W, Cin), kernel (kd, kh, kw, Cin, Cout).
+
+    Used by CubeEmbedding (reference: crossformer.py:31 Conv3d patch embed)
+    and FuXi (reference: credit/models/fuxi.py:82).
+    """
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = ((padding,) * 2,) * 3
+    out = lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=tuple(stride), padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=accum_dtype,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

@@ -1,0 +1,342 @@
+"""Gen2-style trainer: multi-step truncated-BPTT rollout training.
+
+Re-designs the reference training loop (reference:
+credit/trainers/trainer_gen2.py:48 TrainerERA5Gen2 +
+credit/trainers/base_trainer.py:217 BaseTrainer) as a jitted JAX step:
+
+  per optimizer step, for rollout steps s = 0..forecast_len-1:
+    y_pred_s = model(x_s)                       (train mode: SN power iter)
+    if s in backprop_on_timestep: accumulate grad of loss_s
+    x_{s+1}  = stop_gradient(update_x(x_s, y_pred_s, forcing_{s+1}))
+
+The stop_gradient between steps is the exact analogue of the reference's
+detach in _gather_for_next_step (trainer_gen2.py:239); per-step grad
+accumulation reproduces backward-inside-the-step-loop (trainer_gen2.py:424)
+without keeping all steps' activations alive.
+
+EMA follows the reference EMATracker (base_trainer.py:43): adaptive decay
+min(decay, (1+n)/(10+n)), spectral-norm u/v excluded (they live in a separate
+collection and are never EMA'd).
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from credit_tpu import registry
+from credit_tpu.data.channels import ChannelSchema
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    spectral: Any
+    opt_state: Any
+    ema_params: Any = None  # None disables EMA
+
+
+def make_optimizer(conf: dict, schedule) -> optax.GradientTransformation:
+    """AdamW betas=(0.9, 0.95) + global-norm clip + optional grad accumulation
+    (reference: credit/trainers/utils.py:597 and trainer_gen2.py:339)."""
+    t = conf.get("trainer", {})
+    wd = float(t.get("weight_decay", 0.0))
+    clip = float(t.get("grad_max_norm", 0.0) or 0.0)
+    chain = []
+    if clip > 0:
+        chain.append(optax.clip_by_global_norm(clip))
+    chain.append(optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=wd))
+    opt = optax.chain(*chain)
+    accum = int(t.get("grad_accum_every", 1))
+    if accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
+    return opt
+
+
+def _ema_decay(base: float, n: jnp.ndarray) -> jnp.ndarray:
+    return jnp.minimum(base, (1.0 + n) / (10.0 + n))
+
+
+def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
+                    forecast_len: int = 1,
+                    backprop_on_timestep: Optional[Sequence[int]] = None,
+                    history_len: int = 1, ema_decay: float = 0.0,
+                    ensemble_size: int = 1):
+    """Build the jitted multi-step train step.
+
+    batch: {'x': (B, T_hist, H, W, C_in), 'y': (B, S, H, W, C_t),
+            'forcing': (B, S, H, W, n_dyn) optional}
+    """
+    bp = set(backprop_on_timestep or range(forecast_len))
+    n_bp = max(len(bp), 1)
+
+    def apply_model(params, spectral, x, rng=None):
+        rngs = {"noise": rng} if rng is not None else None
+        return model.apply({"params": params, "spectral": spectral}, x,
+                           train=True, mutable=["spectral"], rngs=rngs)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        x = batch["x"]
+        spectral = state.spectral
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        grads = zero_grads
+        total_loss = 0.0
+        step_losses = []
+
+        for s in range(forecast_len):
+            y_t = batch["y"][:, s][:, None]  # (B, 1, H, W, C_t)
+            rng, sub = jax.random.split(rng)
+
+            if ensemble_size > 1:
+                x_in = jnp.repeat(x, ensemble_size, axis=0)
+            else:
+                x_in = x
+
+            if s in bp:
+                def loss_of(p, spec, x_in=x_in, y_t=y_t, sub=sub):
+                    y_pred, mut = apply_model(p, spec, x_in, sub)
+                    if ensemble_size > 1:
+                        b = y_t.shape[0]
+                        y_e = y_pred.reshape(b, ensemble_size, *y_pred.shape[1:])
+                        loss = loss_fn(y_t, y_e)
+                        y_mean = y_e.mean(axis=1)
+                        return loss, (y_mean, mut["spectral"])
+                    return loss_fn(y_t, y_pred), (y_pred, mut["spectral"])
+
+                (l, (y_pred, spectral)), g = jax.value_and_grad(
+                    loss_of, has_aux=True)(state.params, spectral)
+                grads = jax.tree_util.tree_map(jnp.add, grads, g)
+                total_loss = total_loss + l
+                step_losses.append(l)
+            else:
+                y_pred, mut = apply_model(state.params, spectral, x_in, sub)
+                spectral = mut["spectral"]
+                if ensemble_size > 1:
+                    b = x.shape[0]
+                    y_pred = y_pred.reshape(b, ensemble_size, *y_pred.shape[1:]).mean(axis=1)
+
+            if s + 1 < forecast_len:
+                forcing = batch.get("forcing")
+                f_next = None if forcing is None else forcing[:, s + 1][:, None]
+                new_frame = schema.update_x(x[:, -1:], y_pred[:, -1:], f_next)
+                if history_len > 1:
+                    x = jnp.concatenate([x[:, 1:], new_frame], axis=1)
+                else:
+                    x = new_frame
+                x = jax.lax.stop_gradient(x)
+
+        grads = jax.tree_util.tree_map(lambda g: g / n_bp, grads)
+        mean_loss = total_loss / n_bp
+
+        # NaN guard (reference: trainer_gen2.py:512 NaN -> skip/prune)
+        finite = jnp.isfinite(mean_loss)
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = optimizer.update(safe_grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_params, state.params)
+
+        new_ema = state.ema_params
+        if state.ema_params is not None:
+            d = _ema_decay(ema_decay, state.step.astype(jnp.float32))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema_params, new_params)
+
+        gnorm = optax.global_norm(safe_grads)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  spectral=spectral, opt_state=new_opt_state,
+                                  ema_params=new_ema)
+        metrics = {"loss": mean_loss, "grad_norm": gnorm,
+                   "finite": finite.astype(jnp.float32)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
+                   forecast_len: int = 1, history_len: int = 1):
+    def eval_step(state: TrainState, batch):
+        x = batch["x"]
+        params = state.ema_params if state.ema_params is not None else state.params
+        total = 0.0
+        for s in range(forecast_len):
+            y_t = batch["y"][:, s][:, None]
+            y_pred = model.apply({"params": params, "spectral": state.spectral}, x)
+            total = total + loss_fn(y_t, y_pred)
+            if s + 1 < forecast_len:
+                forcing = batch.get("forcing")
+                f_next = None if forcing is None else forcing[:, s + 1][:, None]
+                new_frame = schema.update_x(x[:, -1:], y_pred[:, -1:], f_next)
+                x = jnp.concatenate([x[:, 1:], new_frame], axis=1) if history_len > 1 else new_frame
+        return {"loss": total / forecast_len}
+
+    return eval_step
+
+
+@registry.register("trainer", "era5-v2")
+@registry.register("trainer", "era5")
+class Trainer:
+    """fit() loop: epochs x batches, validation, CSV logging, checkpointing,
+    early stopping (reference: BaseTrainer.fit, base_trainer.py:503)."""
+
+    def __init__(self, conf: dict, model, loss_fn, valid_loss_fn, schema: ChannelSchema,
+                 dataset, valid_dataset=None, save_loc: Optional[str] = None):
+        self.conf = conf
+        t = conf.get("trainer", {})
+        self.model = model
+        self.schema = schema
+        self.dataset = dataset
+        self.valid_dataset = valid_dataset or dataset
+        self.save_loc = save_loc or conf.get("save_loc", "./ckpt")
+        self.forecast_len = int(conf.get("data", {}).get("forecast_len", 1)) or 1
+        self.history_len = int(conf.get("data", {}).get("history_len", 1)) or 1
+        self.batch_size = int(t.get("train_batch_size", 1))
+        self.valid_batch_size = int(t.get("valid_batch_size", self.batch_size))
+        self.num_epoch = int(t.get("num_epoch", t.get("epochs", 1)))
+        self.batches_per_epoch = int(t.get("batches_per_epoch", 0))
+        self.valid_batches = int(t.get("valid_batches_per_epoch", 0))
+        self.stopping_patience = int(t.get("stopping_patience", 999))
+        self.use_ema = bool(t.get("use_ema", False))
+        self.ema_decay = float(t.get("ema_decay", 0.999))
+        self.ensemble_size = int(t.get("ensemble_size", 1))
+        bp = t.get("backprop_on_timestep")
+        self.backprop_on = [b - 1 for b in bp] if bp else None  # config is 1-based
+
+        from credit_tpu.trainers.scheduler import load_scheduler
+
+        self.schedule = load_scheduler(conf)
+        self.optimizer = make_optimizer(conf, self.schedule)
+        self.loss_fn = loss_fn
+        self.valid_loss_fn = valid_loss_fn
+        self._train_step = jax.jit(make_train_step(
+            model, loss_fn, self.optimizer, schema, self.forecast_len,
+            self.backprop_on, self.history_len, self.ema_decay if self.use_ema else 0.0,
+            self.ensemble_size))
+        self._eval_step = jax.jit(make_eval_step(
+            model, valid_loss_fn, schema, self.forecast_len, self.history_len))
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> TrainState:
+        sample = self.dataset.batch([self.dataset.history_len], 1)
+        x = jnp.asarray(sample["x"][:1])
+        variables = self.model.init(rng, x)
+        params = variables["params"]
+        spectral = variables.get("spectral", {})
+        opt_state = self.optimizer.init(params)
+        ema = jax.tree_util.tree_map(jnp.copy, params) if self.use_ema else None
+        n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        logger.info("model parameters: %.2fM", n / 1e6)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          spectral=spectral, opt_state=opt_state, ema_params=ema)
+
+    # ------------------------------------------------------------------
+    def fit(self, state: Optional[TrainState] = None, seed: int = 0) -> TrainState:
+        from credit_tpu.data.sampler import MultiStepSampler
+
+        rng = jax.random.PRNGKey(seed)
+        if state is None:
+            rng, init_rng = jax.random.split(rng)
+            state = self.init_state(init_rng)
+
+        sampler = MultiStepSampler(
+            len(self.dataset), self.batch_size, self.forecast_len,
+            self.history_len, seed=seed, batches_per_epoch=self.batches_per_epoch)
+        vsampler = MultiStepSampler(
+            len(self.valid_dataset), self.valid_batch_size, self.forecast_len,
+            self.history_len, seed=seed + 1, shuffle=False,
+            batches_per_epoch=self.valid_batches)
+
+        os.makedirs(self.save_loc, exist_ok=True)
+        self.schema.save(self.save_loc)
+        log_path = os.path.join(self.save_loc, "training_log.csv")
+        best_loss = np.inf
+        patience = 0
+
+        for epoch in range(self.num_epoch):
+            sampler.set_epoch(epoch)
+            t0 = time.time()
+            train_losses = []
+            for tidx in sampler:
+                batch = {k: jnp.asarray(v) for k, v in
+                         self.dataset.batch(tidx, self.forecast_len).items() if v is not None}
+                rng, sub = jax.random.split(rng)
+                state, metrics = self._train_step(state, batch, sub)
+                train_losses.append(float(metrics["loss"]))
+            valid_losses = []
+            for tidx in vsampler:
+                batch = {k: jnp.asarray(v) for k, v in
+                         self.valid_dataset.batch(tidx, self.forecast_len).items() if v is not None}
+                valid_losses.append(float(self._eval_step(state, batch)["loss"]))
+            tr = float(np.mean(train_losses)) if train_losses else np.nan
+            va = float(np.mean(valid_losses)) if valid_losses else tr
+            dt = time.time() - t0
+            logger.info("epoch %d train %.5f valid %.5f (%.1fs)", epoch, tr, va, dt)
+            write_header = not os.path.exists(log_path)
+            with open(log_path, "a", newline="") as f:
+                wcsv = csv.writer(f)
+                if write_header:
+                    wcsv.writerow(["epoch", "train_loss", "valid_loss", "seconds", "lr"])
+                wcsv.writerow([epoch, tr, va, dt, float(self.schedule(state.step))])
+
+            self.save_checkpoint(state, epoch)
+            if va < best_loss:
+                best_loss = va
+                patience = 0
+                if self.conf.get("trainer", {}).get("save_best_weights"):
+                    self.save_checkpoint(state, epoch, tag="best")
+            else:
+                patience += 1
+                if patience >= self.stopping_patience:
+                    logger.info("early stopping at epoch %d", epoch)
+                    break
+        return state
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, state: TrainState, epoch: int, tag: str = "checkpoint"):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.save_loc, tag))
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"params": state.params, "spectral": state.spectral,
+                   "step": state.step}
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(self.save_loc, "epoch.txt"), "w") as f:
+            f.write(str(epoch))
+
+    def load_checkpoint(self, state: TrainState, tag: str = "checkpoint") -> TrainState:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.save_loc, tag))
+        ckptr = ocp.StandardCheckpointer()
+        template = {"params": state.params, "spectral": state.spectral, "step": state.step}
+        if state.ema_params is not None:
+            template["ema_params"] = state.ema_params
+        restored = ckptr.restore(path, template)
+        return state.replace(params=restored["params"], spectral=restored["spectral"],
+                             step=restored["step"],
+                             ema_params=restored.get("ema_params", state.ema_params))
+
+
+def load_trainer(conf: dict):
+    """Registry dispatch (reference: credit/trainers/__init__.py:81)."""
+    ttype = conf.get("trainer", {}).get("type", "era5-v2")
+    # normalize gen1-era keys to the gen2 trainer
+    aliases = {"era5-gen1": "era5", "era5-v2": "era5-v2", "era5": "era5"}
+    return registry.get("trainer", aliases.get(ttype, "era5-v2"))
