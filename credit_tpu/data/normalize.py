@@ -72,10 +72,10 @@ class Normalizer:
                     level_coord: str = "level") -> "Normalizer":
         """Load mean/std from the reference's mean/std netCDF files
         (reference: conf data.mean_path/std_path)."""
-        import xarray as xr
+        from credit_tpu.utils.ncio import open_dataset
 
-        ds_m = xr.open_dataset(mean_path)
-        ds_s = xr.open_dataset(std_path)
+        ds_m = open_dataset(mean_path)
+        ds_s = open_dataset(std_path)
         mean = {v: np.asarray(ds_m[v].values) for v in ds_m.data_vars}
         std = {v: np.asarray(ds_s[v].values) for v in ds_s.data_vars}
         return cls.from_stats_dict(schema, mean, std)

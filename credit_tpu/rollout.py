@@ -1,0 +1,135 @@
+"""Autoregressive rollout engine (inference).
+
+Re-designs the reference rollout loop (reference:
+credit/applications/rollout_to_netcdf.py:195 predict and
+credit/trainers/rollout_utils.py:113 run_forecast) as a single jitted step
+that stays on device between steps:
+
+    step: x -> y_pred = model(x); x' = update_x(x, y_pred, forcing_next)
+
+Only the (optional) denormalized output leaves the device; forcing for the
+next step is prefetched on host and fed in. NetCDF writes go through an async
+thread pool (the reference uses a process pool; host threads suffice since
+the heavy work is on-device).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import logging
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from credit_tpu.data.channels import ChannelSchema
+from credit_tpu.data.normalize import Normalizer
+
+logger = logging.getLogger(__name__)
+
+
+class RolloutEngine:
+    def __init__(self, model, variables: Dict[str, Any], schema: ChannelSchema,
+                 normalizer: Optional[Normalizer] = None, history_len: int = 1,
+                 postblocks: Optional[Sequence[Callable]] = None,
+                 use_ema: bool = False):
+        self.model = model
+        self.schema = schema
+        self.normalizer = normalizer
+        self.history_len = history_len
+        self.postblocks = list(postblocks or [])
+        params = variables.get("ema_params") if use_ema else None
+        self.variables = {
+            "params": params if params is not None else variables["params"],
+            "spectral": variables.get("spectral", {}),
+        }
+
+        def step(variables, x, forcing_next):
+            """x: (B, T_hist, H, W, C_in); forcing_next: (B, 1, H, W, n_dyn) or None.
+            Returns (y_pred, x_next) — y_pred in normalized space."""
+            y_pred = self.model.apply(variables, x)
+            for pb in self.postblocks:
+                y_pred = pb(y_pred, x)
+            new_frame = self.schema.update_x(x[:, -1:], y_pred[:, -1:], forcing_next)
+            if self.history_len > 1:
+                x_next = jnp.concatenate([x[:, 1:], new_frame], axis=1)
+            else:
+                x_next = new_frame
+            return y_pred, x_next
+
+        self._step = jax.jit(step)
+
+        def step_nofrc(variables, x):
+            return step(variables, x, None)
+
+        self._step_nofrc = jax.jit(step_nofrc)
+
+    def step(self, x, forcing_next=None):
+        if forcing_next is None:
+            return self._step_nofrc(self.variables, x)
+        return self._step(self.variables, x, forcing_next)
+
+    def run(self, x0: jnp.ndarray, n_steps: int,
+            forcing_provider: Optional[Callable[[int], np.ndarray]] = None,
+            on_step: Optional[Callable[[int, np.ndarray], None]] = None,
+            denormalize: bool = True, async_writers: int = 2) -> List[np.ndarray]:
+        """Run n_steps; returns the list of (denormalized) predictions unless
+        on_step is given (then predictions stream to it and [] is returned).
+
+        forcing_provider(step_index) -> (B, 1, H, W, n_dyn) for the NEXT input.
+        """
+        x = jnp.asarray(x0)
+        outs: List[np.ndarray] = []
+        pool = concurrent.futures.ThreadPoolExecutor(async_writers) if on_step else None
+        futures = []
+        for s in range(n_steps):
+            f_next = None
+            if forcing_provider is not None:
+                f = forcing_provider(s + 1)
+                f_next = None if f is None else jnp.asarray(f)
+            y_pred, x = self.step(x, f_next)
+            y = y_pred
+            if denormalize and self.normalizer is not None:
+                y = self.normalizer.denormalize_target(y)
+            if on_step is not None:
+                y_host = np.asarray(y)
+                futures.append(pool.submit(on_step, s, y_host))
+            else:
+                outs.append(np.asarray(y))
+        if pool is not None:
+            for fu in futures:
+                fu.result()
+            pool.shutdown()
+        return outs
+
+
+def make_scan_rollout(model, schema: ChannelSchema, n_steps: int,
+                      history_len: int = 1, with_forcing: bool = False):
+    """Fully on-device N-step rollout as one lax.scan — a single dispatch,
+    no host round-trips between steps (the BASELINE.json north-star
+    requirement). Returns (final_x, per-step per-channel means) so the
+    whole chain materializes.
+
+    run(variables, x0[, forcings]) where forcings: (S, B, 1, H, W, n_dyn).
+    """
+
+    def run(variables, x0, forcings=None):
+        def body(x, f):
+            y_pred = model.apply(variables, x)
+            new_frame = schema.update_x(x[:, -1:], y_pred[:, -1:], f)
+            if history_len > 1:
+                x_next = jnp.concatenate([x[:, 1:], new_frame], axis=1)
+            else:
+                x_next = new_frame
+            stats = jnp.mean(y_pred, axis=(0, 1, 2, 3))  # (C,)
+            return x_next, stats
+
+        if with_forcing:
+            final_x, stats = jax.lax.scan(body, x0, forcings, length=n_steps)
+        else:
+            final_x, stats = jax.lax.scan(lambda x, _: body(x, None), x0,
+                                          None, length=n_steps)
+        return final_x, stats
+
+    return run
