@@ -67,21 +67,58 @@ def main():
     jax.block_until_ready(variables)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    rollout = jax.jit(make_scan_rollout(model, schema, N_STEPS, history_len=1,
-                                        with_forcing=False))
-    t0 = time.time()
-    final_x, stats = rollout(variables, x0)
-    jax.block_until_ready(stats)
-    print(f"rollout compile+first-run: {time.time() - t0:.1f}s", file=sys.stderr)
+    # NOTE: through the remote-TPU tunnel block_until_ready returns at
+    # enqueue, so the only reliable sync point is a host transfer. We time a
+    # 40-step and an 80-step rollout (each ending in a scalar fetch) and use
+    # the difference, which cancels the constant dispatch+transfer overhead.
+    def build(n):
+        run = make_scan_rollout(model, schema, n, history_len=1,
+                                with_forcing=False)
 
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        final_x, stats = rollout(variables, x0)
-        jax.block_until_ready(stats)
-        times.append(time.time() - t0)
-    best = min(times)
-    steps_per_s = N_STEPS / best
+        def run_scalar(variables, x0):
+            final_x, stats = run(variables, x0)
+            return jnp.sum(stats)
+
+        return jax.jit(run_scalar)
+
+    # measure fixed dispatch+transfer overhead with a trivial computation
+    triv = jax.jit(lambda x: jnp.sum(x) * 1.000001)
+    t0 = time.time()
+    _ = float(triv(x0))
+    print(f"trivial compile+fetch: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    _ = float(triv(x0 + 0.0))
+    overhead = time.time() - t0
+    print(f"dispatch+fetch overhead: {overhead:.2f}s", file=sys.stderr)
+
+    r40 = build(N_STEPS)
+    r80 = build(2 * N_STEPS)
+    t0 = time.time()
+    out = r40(variables, x0)
+    print(f"40-step dispatch returned: {time.time() - t0:.1f}s", file=sys.stderr)
+    s40 = float(out)
+    print(f"40-step compile+run+fetch: {time.time() - t0:.1f}s (sum={s40:.3e})",
+          file=sys.stderr)
+    t0 = time.time()
+    s80 = float(r80(variables, x0))
+    print(f"80-step compile+run+fetch: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def timed(fn, reps=2):
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            _ = float(fn(variables, x0))
+            best = min(best, time.time() - t0)
+        return best
+
+    t40 = timed(r40)
+    t80 = timed(r80)
+    per_step = (t80 - t40) / N_STEPS
+    if per_step <= 0:
+        per_step = t40 / N_STEPS  # fallback; overhead-dominated
+    steps_per_s = 1.0 / per_step
+    print(f"t40={t40:.3f}s t80={t80:.3f}s -> {per_step*1e3:.2f} ms/step",
+          file=sys.stderr)
     gridpoints_per_s = steps_per_s * 181 * 360
     print(f"runs: {[f'{t:.2f}' for t in times]} -> {steps_per_s:.2f} steps/s, "
           f"{gridpoints_per_s/1e6:.1f}M gridpoints/s", file=sys.stderr)
