@@ -292,6 +292,62 @@ class GlobalEnergyFixer(_FixerBase):
         return self.Tt.set(y_pred, T_new)
 
 
+@registry.register("postblock", "mslp_diagnostic")
+class MSLPDiagnostic(BasePostblock):
+    """Mean-sea-level-pressure diagnostic (Trenberth 1993) written into a
+    target channel (reference: credit/postblock/mslp.py MSLPDiagnostic)."""
+
+    def __init__(self, schema: ChannelSchema, grid=None, surface_geopotential=None,
+                 output_name="mean_sea_level_pressure",
+                 surface_pressure_var="SP", temperature_var="VAR_2T",
+                 surface_geopotential_var=None, **_):
+        from credit_tpu.physics.interp import mslp_trenberth
+
+        self._mslp = mslp_trenberth
+        self.out = _VarView(schema, output_name)
+        self.sp = _VarView(schema, surface_pressure_var)
+        self.t2 = _VarView(schema, temperature_var)
+        self.sgp_from_input = None
+        if surface_geopotential is not None:
+            self.sgp = jnp.asarray(surface_geopotential, jnp.float32)
+        elif surface_geopotential_var is not None:
+            self.sgp_from_input = _VarView(schema, surface_geopotential_var, target=False)
+            self.sgp = None
+        else:
+            raise ValueError("need surface_geopotential array or _var")
+
+    def __call__(self, y_pred, x):
+        sgp = self.sgp if self.sgp is not None else self.sgp_from_input.get(x)[:, -1:]
+        mslp = self._mslp(self.sp.get(y_pred), self.t2.get(y_pred), sgp)
+        return self.out.set(y_pred, mslp)
+
+
+@registry.register("postblock", "geopotential_diagnostic")
+class GeopotentialDiagnostic(BasePostblock):
+    """Geopotential on model levels by hypsometric integration, written into
+    a target 3-D channel block (reference: credit/postblock/geopotential.py
+    GeopotentialDiagnostic)."""
+
+    def __init__(self, schema: ChannelSchema, grid=None, a_half=None, b_half=None,
+                 surface_geopotential=None, output_name="Z",
+                 temperature_var="T", q_var="Q", sp_var="SP", **_):
+        from credit_tpu.physics.interp import geopotential_hybrid
+
+        self._geo = geopotential_hybrid
+        self.out = _VarView(schema, output_name)
+        self.T = _VarView(schema, temperature_var)
+        self.q = _VarView(schema, q_var)
+        self.sp = _VarView(schema, sp_var)
+        self.a_half = jnp.asarray(a_half, jnp.float32)
+        self.b_half = jnp.asarray(b_half, jnp.float32)
+        self.sgp = jnp.asarray(surface_geopotential, jnp.float32)
+
+    def __call__(self, y_pred, x):
+        z = self._geo(self.sgp, self.sp.get(y_pred), self.T.get(y_pred),
+                      self.q.get(y_pred), self.a_half, self.b_half)
+        return self.out.set(y_pred, z)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -305,7 +361,7 @@ def build_postblocks(conf: dict, schema: ChannelSchema, grid,
     if not post_conf.get("activate"):
         return []
     order = ["tracer_fixer", "global_mass_fixer", "global_water_fixer",
-             "global_energy_fixer"]
+             "global_energy_fixer", "mslp_diagnostic", "geopotential_diagnostic"]
     blocks: List[Callable] = []
     need_phys = any(post_conf.get(k, {}).get("activate") for k in order)
     if need_phys and normalizer is not None:
