@@ -1,0 +1,241 @@
+"""Swin Transformer V2 blocks + standalone model.
+
+From-scratch flax implementation of the SwinV2 machinery the reference pulls
+from timm (reference: credit/models/fuxi.py:204 UTransformer wraps
+timm.SwinTransformerV2Stage; credit/models/swin.py is a standalone SwinV2Cr):
+cosine attention with learned per-head logit scale, log-spaced continuous
+relative-position bias (CPB MLP), shifted windows with masking, post-norm
+residuals. Channels-last throughout; windows partition as pure reshapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from credit_tpu import registry
+from credit_tpu.models.base import BaseModel, channels_to_frames, frames_to_channels
+
+Dtype = Any
+
+
+def _window_partition(x, ws):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def _window_reverse(xw, ws, h, w):
+    b = xw.shape[0] // ((h // ws) * (w // ws))
+    x = xw.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def _relative_coords_table(ws: int) -> np.ndarray:
+    """Log-spaced normalized relative coordinates ((2w-1)^2, 2) — SwinV2 CPB."""
+    coords = np.arange(-(ws - 1), ws, dtype=np.float32)
+    table = np.stack(np.meshgrid(coords, coords, indexing="ij"), axis=-1)
+    table = table / (ws - 1) * 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.reshape(-1, 2)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """(nWin, T, T) additive mask for shifted windows."""
+    img = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = win[:, :, None] - win[:, None, :]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttentionV2(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xw, mask=None):
+        """xw: (nB, T, C) window tokens; mask: (nWin, T, T) or None."""
+        nb, t, c = xw.shape
+        h = self.num_heads
+        dh = c // h
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(xw)
+        # SwinV2: separate bias for q and v only
+        q_bias = self.param("q_bias", nn.initializers.zeros_init(), (c,))
+        v_bias = self.param("v_bias", nn.initializers.zeros_init(), (c,))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q + q_bias.astype(self.dtype)
+        v = v + v_bias.astype(self.dtype)
+        q = q.reshape(nb, t, h, dh)
+        k = k.reshape(nb, t, h, dh)
+        v = v.reshape(nb, t, h, dh)
+
+        # cosine attention with learned temperature
+        logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(math.log(10.0)), (h, 1, 1))
+        qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
+        kn = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
+        attn = jnp.einsum("bthd,bshd->bhts", qn, kn,
+                          preferred_element_type=jnp.float32)
+        scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0)))
+        attn = attn * scale
+
+        # continuous relative position bias
+        table = jnp.asarray(_relative_coords_table(self.window_size))
+        cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(table)
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32, name="cpb_fc2")(cpb)
+        idx = jnp.asarray(_relative_position_index(self.window_size))
+        bias = cpb[idx]                      # (T, T, heads)
+        bias = 16.0 * jax.nn.sigmoid(bias)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(nb // nw, nw, h, t, t) + mask[None, :, None]
+            attn = attn.reshape(nb, h, t, t)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(nb, t, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlockV2(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws = min(self.window_size, h, w)
+        shift = self.shift if ws < min(h, w) else 0
+
+        y = x
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+        else:
+            mask = None
+        yw = _window_partition(y, ws)
+        yw = WindowAttentionV2(self.dim, self.num_heads, ws, self.dtype,
+                               name="attn")(yw, mask)
+        y = _window_reverse(yw, ws, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        # SwinV2 post-norm residual
+        x = x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
+
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+        x = x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
+        return x
+
+
+class SwinStageV2(nn.Module):
+    """depth x SwinV2 blocks alternating regular/shifted windows — the
+    timm SwinTransformerV2Stage analogue (same-resolution, no downsample)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth):
+            blk = SwinBlockV2(self.dim, self.num_heads, self.window_size,
+                              shift=0 if i % 2 == 0 else self.window_size // 2,
+                              dtype=self.dtype, name=f"block{i}")
+            if self.remat:
+                x = nn.remat(lambda m, z: m(z))(blk, x)
+            else:
+                x = blk(x)
+        return x
+
+
+@registry.register("model", "swin")
+class SwinTransformerV2(BaseModel):
+    """Standalone SwinV2 forecast model (reference: credit/models/swin.py
+    SwinTransformerV2Cr): patch embed -> deep same-resolution SwinV2 stack ->
+    patch recovery."""
+
+    image_height: int = 181
+    image_width: int = 360
+    patch_height: int = 4
+    patch_width: int = 4
+    frames: int = 1
+    output_frames: int = 1
+    channels: int = 4
+    surface_channels: int = 4
+    input_only_channels: int = 0
+    output_only_channels: int = 0
+    levels: int = 15
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 8
+    window_size: int = 7
+    compute_dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def base_input_channels(self):
+        return self.channels * self.levels + self.surface_channels + self.input_only_channels
+
+    @property
+    def base_output_channels(self):
+        return self.channels * self.levels + self.surface_channels + self.output_only_channels
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, t, hh, ww, cin = x.shape
+        x = frames_to_channels(x)
+        ph, pw = self.patch_height, self.patch_width
+        pad_h = (-hh) % ph
+        pad_w = (-ww) % pw
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+        h2, w2 = x.shape[1] // ph, x.shape[2] // pw
+        x = x.reshape(b, h2, ph, w2, pw, -1).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, h2, w2, -1)
+        x = nn.Dense(self.embed_dim, dtype=self.compute_dtype, name="embed")(x)
+        # pad to window multiple
+        ws = self.window_size
+        eh = (-h2) % ws
+        ew = (-w2) % ws
+        x = jnp.pad(x, ((0, 0), (0, eh), (0, ew), (0, 0)))
+        x = SwinStageV2(self.embed_dim, self.depth, self.num_heads, ws,
+                        self.compute_dtype, self.remat, name="stage")(x)
+        x = x[:, :h2, :w2]
+        out_c = self.base_output_channels * self.output_frames
+        x = nn.Dense(out_c * ph * pw, dtype=self.compute_dtype, name="head")(x)
+        x = x.reshape(b, h2, w2, ph, pw, out_c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, h2 * ph, w2 * pw, out_c)
+        x = x[:, :hh, :ww]
+        return channels_to_frames(x, self.output_frames)
