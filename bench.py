@@ -61,11 +61,17 @@ def main():
     print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
 
     rng = jax.random.PRNGKey(0)
-    x0 = jax.random.normal(rng, (1, 1, 181, 360, schema.n_input), jnp.float32)
+    x0 = jax.random.normal(rng, (1, 1, 181, 360, schema.n_input), jnp.float32) * 0.5
     t0 = time.time()
     variables = jax.jit(model.init)(rng, x0)
     jax.block_until_ready(variables)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    from credit_tpu.models.spectral_utils import converge_spectral
+
+    variables = converge_spectral(variables)
+    variables = jax.device_put(variables)
+    print(f"spectral converge (host): {time.time() - t0:.1f}s", file=sys.stderr)
 
     # NOTE: through the remote-TPU tunnel block_until_ready returns at
     # enqueue, so the only reliable sync point is a host transfer. We time a
@@ -111,17 +117,18 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
+    if not np.isfinite(s40):
+        print("WARNING: rollout produced non-finite output", file=sys.stderr)
     t40 = timed(r40)
     t80 = timed(r80)
     per_step = (t80 - t40) / N_STEPS
     if per_step <= 0:
         per_step = t40 / N_STEPS  # fallback; overhead-dominated
     steps_per_s = 1.0 / per_step
-    print(f"t40={t40:.3f}s t80={t80:.3f}s -> {per_step*1e3:.2f} ms/step",
-          file=sys.stderr)
     gridpoints_per_s = steps_per_s * 181 * 360
-    print(f"runs: {[f'{t:.2f}' for t in times]} -> {steps_per_s:.2f} steps/s, "
-          f"{gridpoints_per_s/1e6:.1f}M gridpoints/s", file=sys.stderr)
+    print(f"t40={t40:.3f}s t80={t80:.3f}s -> {per_step*1e3:.2f} ms/step, "
+          f"{steps_per_s:.1f} steps/s, {gridpoints_per_s/1e6:.1f}M gridpoints/s",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "wxformer_1deg_40step_rollout",

@@ -1,0 +1,329 @@
+"""CLI: credit-tpu {init,train,rollout,preprocess,convert,metrics,plot,
+submit,serve}.
+
+Mirrors the reference CLI surface (reference: credit/cli/_parser.py:32-123,
+357 — subcommands init/preprocess/train/rollout/realtime/submit/convert/
+plot/metrics; the `ask` LLM agent is an explicit non-goal, SURVEY.md). The
+launcher (`submit`) generates TPU-pod launch scripts instead of PBS/SLURM
+GPU scripts — the reference's scheduler generation (credit/pbs.py,
+credit/slurm.py) maps onto GKE/`gcloud compute tpus` style multi-worker
+launches, plus plain SLURM for TPU-VM clusters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(levelname)s %(message)s")
+logger = logging.getLogger("credit_tpu")
+
+TEMPLATE = """\
+save_loc: ./experiment
+seed: 1000
+
+data:
+  source:
+    ERA5:
+      dataset_type: synthetic   # synthetic | local (+ zarr sources when installed)
+      levels: [0., 1., 2., 3.]
+      variables:
+        prognostic:
+          vars_3D: ['U', 'V', 'T', 'Q']
+          vars_2D: ['SP', 'VAR_2T']
+        dynamic_forcing:
+          vars_2D: ['tsi']
+        static:
+          vars_2D: ['lsm']
+        diagnostic:
+          vars_2D: ['total_precipitation']
+  history_len: 1
+  forecast_len: 1
+  lead_time_periods: 6
+
+trainer:
+  type: era5-v2
+  learning_rate: 1.0e-4
+  weight_decay: 0.0
+  train_batch_size: 2
+  batches_per_epoch: 10
+  num_epoch: 2
+  grad_max_norm: 1.0
+  use_ema: false
+  parallelism:
+    data: none
+    tensor: 1
+    domain: 1
+
+model:
+  type: crossformer
+  frames: 1
+  image_height: 64
+  image_width: 128
+  levels: 4
+  channels: 4
+  surface_channels: 2
+  input_only_channels: 2
+  output_only_channels: 1
+  dim: [32, 64, 128, 256]
+  depth: [1, 1, 2, 1]
+  global_window_size: [4, 2, 2, 1]
+  local_window_size: 2
+  cross_embed_kernel_sizes: [[4, 8], [2, 4], [2, 4], [2, 4]]
+  cross_embed_strides: [2, 2, 2, 2]
+  use_spectral_norm: true
+  interp: true
+  padding_conf: {activate: true, mode: earth, pad_lat: [16, 16], pad_lon: [0, 0]}
+
+loss:
+  training_loss: mse
+  use_latitude_weights: true
+
+predict:
+  forecast_steps: 4
+"""
+
+
+def _load(args):
+    from credit_tpu.config import load_config
+
+    return load_config(args.config)
+
+
+def cmd_init(args):
+    path = args.config or "config.yml"
+    if os.path.exists(path) and not args.force:
+        print(f"{path} exists; use --force to overwrite", file=sys.stderr)
+        return 1
+    with open(path, "w") as f:
+        f.write(TEMPLATE)
+    print(f"wrote template config to {path}")
+    return 0
+
+
+def cmd_train(args):
+    from credit_tpu.applications import run_training
+
+    run_training(_load(args), seed=args.seed)
+    return 0
+
+
+def cmd_rollout(args):
+    from credit_tpu.applications import run_rollout
+
+    paths = run_rollout(_load(args), n_steps=args.steps, save_dir=args.out,
+                        use_ema=args.ema)
+    for p in paths:
+        print(p)
+    return 0
+
+
+def cmd_preprocess(args):
+    """Fit per-channel normalization stats over training samples and write
+    them next to the checkpoint (reference: credit preprocess,
+    applications/preprocess.py)."""
+    import numpy as np
+
+    from credit_tpu.applications.experiment import build_experiment
+
+    conf = _load(args)
+    exp = build_experiment(conf)
+    ds, schema = exp["dataset"], exp["schema"]
+    n = min(len(ds) - 2, args.samples)
+    xs, ys = [], []
+    for t in range(ds.history_len, ds.history_len + n):
+        s = ds.sample(t, 1)
+        xs.append(s["x"].reshape(-1, schema.n_input))
+        ys.append(s["y"].reshape(-1, schema.n_target))
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    save_loc = conf.get("save_loc", ".")
+    os.makedirs(save_loc, exist_ok=True)
+    out = os.path.join(save_loc, "normalization.npz")
+    np.savez(out, input_mean=x.mean(0), input_std=x.std(0) + 1e-8,
+             target_mean=y.mean(0), target_std=y.std(0) + 1e-8)
+    schema.save(save_loc)
+    print(f"wrote {out} (from {n} samples)")
+    return 0
+
+
+def cmd_convert(args):
+    """Legacy gen1 config -> gen2 nested schema (reference: credit convert)."""
+    import yaml
+
+    from credit_tpu.config import convert_legacy
+
+    with open(args.config) as f:
+        conf = yaml.safe_load(f)
+    conv = convert_legacy(conf)
+    out = args.out or args.config.replace(".yml", "_gen2.yml")
+    with open(out, "w") as f:
+        yaml.safe_dump(conv, f, sort_keys=False)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_metrics(args):
+    """Lat-weighted metrics of forecast files vs the dataset truth."""
+    import numpy as np
+
+    from credit_tpu.applications.experiment import build_experiment
+    from credit_tpu.metrics import LatWeightedMetrics
+    from credit_tpu.output import split_channels
+    from credit_tpu.utils.ncio import open_dataset
+
+    conf = _load(args)
+    exp = build_experiment(conf)
+    metrics = LatWeightedMetrics(exp["grid"], exp["schema"].target_names)
+    rows = []
+    for path in args.files:
+        ds = open_dataset(path)
+        step = int(float(ds.attrs.get("lead_hours", 6))) // int(
+            conf.get("data", {}).get("lead_time_periods", 6))
+        truth = exp["dataset"].target_at(exp["dataset"].history_len + step)
+        flat = np.stack([
+            (np.asarray(ds[e.name.rpartition("_L")[0] or e.name].values)
+             [:, int(e.name.rpartition("_L")[2])] if "_L" in e.name
+             and e.name.rpartition("_L")[2].isdigit()
+             else np.asarray(ds[e.name].values))
+            for e in exp["schema"].target_entries
+        ], axis=-1)
+        out = metrics(truth[None].astype(np.float32),
+                      flat[None].astype(np.float32))
+        rows.append({"file": os.path.basename(path),
+                     **{k: float(v) for k, v in out.items()
+                        if k in ("rmse", "mae", "acc")}})
+    print(json.dumps(rows, indent=1))
+    return 0
+
+
+def cmd_plot(args):
+    """Truth-vs-pred map plot (reference: credit plot, cli/_plot.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from credit_tpu.utils.ncio import open_dataset
+
+    ds = open_dataset(args.file)
+    var = args.var or next(iter(ds.keys()))
+    arr = np.asarray(ds[var].values)
+    while arr.ndim > 2:
+        arr = arr[0]
+    fig, ax = plt.subplots(figsize=(8, 4))
+    im = ax.imshow(arr, aspect="auto", cmap="RdBu_r")
+    fig.colorbar(im, ax=ax)
+    ax.set_title(f"{var} — {os.path.basename(args.file)}")
+    out = args.out or (os.path.splitext(args.file)[0] + f"_{var}.png")
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    print(out)
+    return 0
+
+
+def cmd_submit(args):
+    """Generate a multi-host TPU launch script (reference: credit submit,
+    cli/_submit.py + pbs.py/slurm.py — adapted for TPU pods)."""
+    conf = _load(args)
+    name = conf.get("save_loc", "credit-tpu-job").strip("./").replace("/", "-") or "credit-tpu"
+    if args.scheduler == "gcloud":
+        script = f"""#!/bin/bash
+# Launch on every worker of a TPU pod slice (GSPMD single-program):
+gcloud compute tpus tpu-vm ssh {args.tpu_name or 'TPU_NAME'} \\
+  --zone={args.zone or 'ZONE'} --worker=all \\
+  --command="cd $(pwd) && python -m credit_tpu.cli train {args.config}"
+"""
+    else:
+        script = f"""#!/bin/bash
+#SBATCH --job-name={name}
+#SBATCH --nodes={args.nodes}
+#SBATCH --exclusive
+srun python -m credit_tpu.cli train {args.config}
+"""
+    out = args.out or f"launch_{name}.sh"
+    with open(out, "w") as f:
+        f.write(script)
+    os.chmod(out, 0o755)
+    print(out)
+    return 0
+
+
+def cmd_serve(args):
+    from credit_tpu.serve import serve
+
+    serve(_load(args), host=args.host, port=args.port)
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser("credit-tpu",
+                                description="TPU-native AI-NWP framework")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init", help="write a template config")
+    sp.add_argument("config", nargs="?")
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("train", help="train a model")
+    sp.add_argument("config")
+    sp.add_argument("--seed", type=int, default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("rollout", help="autoregressive forecast to netCDF")
+    sp.add_argument("config")
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--ema", action="store_true")
+    sp.set_defaults(fn=cmd_rollout)
+
+    sp = sub.add_parser("preprocess", help="fit normalization stats")
+    sp.add_argument("config")
+    sp.add_argument("--samples", type=int, default=32)
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("convert", help="convert legacy gen1 config to gen2")
+    sp.add_argument("config")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("metrics", help="score forecast files")
+    sp.add_argument("config")
+    sp.add_argument("files", nargs="+")
+    sp.set_defaults(fn=cmd_metrics)
+
+    sp = sub.add_parser("plot", help="plot a forecast field")
+    sp.add_argument("file")
+    sp.add_argument("--var", default=None)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_plot)
+
+    sp = sub.add_parser("submit", help="generate TPU pod launch script")
+    sp.add_argument("config")
+    sp.add_argument("--scheduler", choices=["gcloud", "slurm"], default="gcloud")
+    sp.add_argument("--nodes", type=int, default=1)
+    sp.add_argument("--tpu-name", default=None)
+    sp.add_argument("--zone", default=None)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser("serve", help="HTTP forecast server")
+    sp.add_argument("config")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8000)
+    sp.set_defaults(fn=cmd_serve)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

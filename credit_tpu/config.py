@@ -1,0 +1,98 @@
+"""Config loading + validation.
+
+The reference's gen1 path is a 1,700-line imperative validator
+(reference: credit/parser.py:79 credit_main_parser); gen2 consumes the YAML
+directly with section-local validation. We follow the gen2 style: load YAML,
+normalize legacy (gen1 flat-schema) keys into the gen2 nested form
+(the `credit convert` behavior, reference: credit/cli/_convert.py:11), and
+validate with focused checks that raise actionable errors.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict
+
+import yaml
+
+
+def load_config(path_or_dict) -> Dict[str, Any]:
+    if isinstance(path_or_dict, dict):
+        conf = copy.deepcopy(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            conf = yaml.safe_load(f)
+    conf = convert_legacy(conf)
+    validate(conf)
+    return conf
+
+
+def convert_legacy(conf: dict) -> dict:
+    """Map gen1 flat data schema -> gen2 nested source schema
+    (reference: cli/_convert.py converts variables/surface_variables/... into
+    data.source.*.variables)."""
+    data = conf.get("data", {}) or {}
+    if "source" in data:
+        return conf
+    if not any(k in data for k in ("variables", "surface_variables")):
+        return conf
+    src = {
+        "levels": data.get("levels", list(range(conf.get("model", {}).get("levels", 1)))),
+        "variables": {
+            "prognostic": {
+                "vars_3D": data.get("variables", []) or [],
+                "vars_2D": data.get("surface_variables", []) or [],
+            },
+            "dynamic_forcing": {
+                "vars_2D": (data.get("dynamic_forcing_variables", []) or [])
+                + (data.get("forcing_variables", []) or []),
+            },
+            "static": {"vars_2D": data.get("static_variables", []) or []},
+            "diagnostic": {"vars_2D": data.get("diagnostic_variables", []) or []},
+        },
+    }
+    conf = copy.deepcopy(conf)
+    conf["data"]["source"] = {"ERA5": src}
+    return conf
+
+
+def validate(conf: dict) -> None:
+    errors = []
+    if "model" not in conf:
+        errors.append("missing 'model' section")
+    else:
+        m = conf["model"]
+        if "type" not in m:
+            errors.append("model.type is required")
+        for k in ("image_height", "image_width"):
+            if k in m and int(m[k]) <= 0:
+                errors.append(f"model.{k} must be positive")
+    if "data" in conf and conf["data"] and "source" in (conf["data"] or {}):
+        for name, src in conf["data"]["source"].items():
+            variables = src.get("variables")
+            if not variables:
+                errors.append(f"data.source.{name}.variables is required")
+            elif "prognostic" not in variables:
+                errors.append(f"data.source.{name}.variables needs a 'prognostic' group")
+    p = (conf.get("trainer", {}) or {}).get("parallelism")
+    if p:
+        for k in ("tensor", "domain"):
+            if k in p and p[k] not in (None, "none") and int(p[k]) < 1:
+                errors.append(f"trainer.parallelism.{k} must be >= 1")
+    if errors:
+        raise ValueError("Invalid config:\n  - " + "\n  - ".join(errors))
+
+
+def model_channel_check(conf: dict, schema) -> None:
+    """Cross-check model channel arithmetic against the data schema
+    (the gen2 analogue of the reference's training_data_check)."""
+    m = conf["model"]
+    expected_in = (int(m.get("channels", 0)) * int(m.get("levels", 1))
+                   + int(m.get("surface_channels", 0))
+                   + int(m.get("input_only_channels", 0)))
+    if expected_in != schema.n_input:
+        raise ValueError(
+            f"model expects {expected_in} input channels "
+            f"(channels*levels + surface + input_only) but the data schema "
+            f"provides {schema.n_input}: {schema.input_names}")

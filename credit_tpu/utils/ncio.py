@@ -109,12 +109,15 @@ def open_dataset(path: str) -> Any:
         coords = {}
         data_vars = {}
         dim_names = set(f.dimensions.keys())
+        def _dec(v):
+            return v.decode() if isinstance(v, bytes) else v
+
         for name, var in f.variables.items():
             vals = np.asarray(var[:])
             if name in dim_names and var.dimensions == (name,):
                 coords[name] = vals
             else:
-                attrs = {k: v for k, v in var._attributes.items()}
+                attrs = {k: _dec(v) for k, v in var._attributes.items()}
                 data_vars[name] = Variable(var.dimensions, vals, attrs)
-        attrs = {k: v for k, v in f._attributes.items()}
+        attrs = {k: _dec(v) for k, v in f._attributes.items()}
     return Dataset(data_vars, coords, attrs)
