@@ -75,6 +75,7 @@ class CrossFormer(BaseModel):
     use_interp: bool = True  # alias used by some configs
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    use_pallas_attention: bool = False
 
     @property
     def base_input_channels(self) -> int:
@@ -117,6 +118,7 @@ class CrossFormer(BaseModel):
                                 dtype=dt, name=f"cel{i}")(x, train)
             x = Transformer(dims[i], depths[i], lws[i], gws[i], self.dim_head,
                             use_sn=sn, dtype=dt, remat=self.remat,
+                            use_pallas=self.use_pallas_attention,
                             name=f"transformer{i}")(x, train)
             encodings.append(x)
 

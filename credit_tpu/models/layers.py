@@ -216,6 +216,7 @@ class WindowAttention(nn.Module):
     dim_head: int = 32
     use_sn: bool = True
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -241,7 +242,12 @@ class WindowAttention(nn.Module):
         # rel_pos_indices was built with stride (2*wsz - 1). Reproduce exactly:
         bias = biases[idx]
 
-        out = wa.window_attention(q, k, v, bias, heads)
+        if self.use_pallas:
+            from credit_tpu.ops.pallas_attention import fused_window_attention
+
+            out = fused_window_attention(q, k, v, bias, heads)
+        else:
+            out = wa.window_attention(q, k, v, bias, heads)
         out = SNDense(self.dim, use_sn=self.use_sn, dtype=self.dtype,
                       name="to_out")(out, train)
         return wa.window_unpartition(out, wsz, h, w, self.attn_type)
@@ -276,16 +282,19 @@ class Transformer(nn.Module):
     use_sn: bool = True
     dtype: Dtype = jnp.float32
     remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.depth):
             blocks = [
                 WindowAttention(self.dim, "short", self.local_window_size,
-                                self.dim_head, self.use_sn, self.dtype, name=f"short_attn{i}"),
+                                self.dim_head, self.use_sn, self.dtype,
+                                self.use_pallas, name=f"short_attn{i}"),
                 FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype, name=f"short_ff{i}"),
                 WindowAttention(self.dim, "long", self.global_window_size,
-                                self.dim_head, self.use_sn, self.dtype, name=f"long_attn{i}"),
+                                self.dim_head, self.use_sn, self.dtype,
+                                self.use_pallas, name=f"long_attn{i}"),
                 FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype, name=f"long_ff{i}"),
             ]
             for blk in blocks:
