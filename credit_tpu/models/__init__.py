@@ -15,11 +15,10 @@ def load_model(conf: dict):
     # import for registration side effects
     from credit_tpu.models import crossformer as _cf  # noqa: F401
     from credit_tpu.models import debugger as _dbg  # noqa: F401
-    for _opt in ("fuxi", "unet"):
-        try:
-            __import__(f"credit_tpu.models.{_opt}")
-        except ImportError:
-            pass
+    from credit_tpu.models import fuxi as _fx  # noqa: F401
+    from credit_tpu.models import sdl as _sdl  # noqa: F401
+    from credit_tpu.models import swin as _sw  # noqa: F401
+    from credit_tpu.models import unet as _un  # noqa: F401
 
     mconf = dict(conf["model"])
     mtype = mconf.pop("type")
