@@ -1,0 +1,105 @@
+"""Parallelism micro-benchmark: step time / samples/s per (dp, tp, domain).
+
+Re-implements the reference's synthetic benchmark harness (reference:
+applications/benchmark_parallelism.py:1-15,159 — TSV row per config with
+step_ms, peak_mem_gb, samples/s) for the JAX mesh runtime, plus a
+grid-points/s/chip figure (the driver's headline unit).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def benchmark_parallelism(conf: dict,
+                          combos: Optional[Sequence[Tuple[int, int, int]]] = None,
+                          steps: int = 5, warmup: int = 2) -> List[dict]:
+    """Run the jitted train step under each (dp, tp, domain) mesh and report
+    a row per combo."""
+    import jax
+    import jax.numpy as jnp
+
+    from credit_tpu.data.channels import ChannelSchema
+    from credit_tpu.losses import WeightedLoss
+    from credit_tpu.models import load_model
+    from credit_tpu.parallel.mesh import build_mesh
+    from credit_tpu.parallel.sharding import (
+        batch_sharding, replicated, tree_param_shardings)
+    from credit_tpu.trainers.trainer import TrainState, make_optimizer, make_train_step
+
+    n_dev = len(jax.devices())
+    if combos is None:
+        combos = [(1, 1, 1)]
+        if n_dev >= 2:
+            combos += [(2, 1, 1), (1, 1, 2)]
+        if n_dev >= 4:
+            combos += [(4, 1, 1), (2, 1, 2), (2, 2, 1)]
+        if n_dev >= 8:
+            combos += [(8, 1, 1), (2, 2, 2), (4, 1, 2)]
+        combos = [c for c in combos if c[0] * c[1] * c[2] <= n_dev]
+
+    schema = ChannelSchema.from_config(conf)
+    model = load_model(conf)
+    loss_fn = WeightedLoss(base="mse")
+    h = int(conf["model"]["image_height"])
+    w = int(conf["model"]["image_width"])
+    rows = []
+    for dp, tp, dom in combos:
+        mesh = build_mesh(dp, tp, dom, jax.devices()[:dp * tp * dom])
+        b = max(dp, 1)
+        kx, ky = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(kx, (b, 1, h, w, schema.n_input), jnp.float32)
+        y = jax.random.normal(ky, (b, 1, h, w, schema.n_target), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        optimizer = make_optimizer(conf, lambda _: 1e-4)
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           params=variables["params"],
+                           spectral=variables.get("spectral", {}),
+                           opt_state=optimizer.init(variables["params"]))
+        with mesh:
+            pshard = tree_param_shardings(state.params, mesh)
+            rep = replicated(mesh)
+            bshard = batch_sharding(mesh, 5, domain=dom > 1)
+            state = state.replace(
+                params=jax.device_put(state.params, pshard),
+                spectral=jax.device_put(state.spectral, rep),
+                opt_state=jax.device_put(
+                    state.opt_state,
+                    jax.tree_util.tree_map(lambda _: rep, state.opt_state,
+                                           is_leaf=lambda l: hasattr(l, "shape"))),
+                step=jax.device_put(state.step, rep))
+            batch = {"x": jax.device_put(x, bshard), "y": jax.device_put(y, bshard)}
+            step_fn = jax.jit(make_train_step(model, loss_fn, optimizer, schema, 1))
+            rng = jax.random.PRNGKey(1)
+            t0 = time.time()
+            for _ in range(warmup):
+                state, metrics = step_fn(state, batch, rng)
+            jax.block_until_ready(metrics)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for _ in range(steps):
+                state, metrics = step_fn(state, batch, rng)
+            loss = float(metrics["loss"])  # sync point
+            dt = (time.time() - t0) / steps
+        n_chips = dp * tp * dom
+        row = {
+            "dp": dp, "tensor": tp, "domain": dom,
+            "step_ms": round(dt * 1e3, 2),
+            "samples_per_s": round(b / dt, 2),
+            "gridpoints_per_s_per_chip": round(b * h * w / dt / n_chips, 0),
+            "compile_s": round(compile_s, 1),
+            "loss": round(loss, 5),
+        }
+        rows.append(row)
+        logger.info("bench %s", row)
+    if rows:
+        base = rows[0]["gridpoints_per_s_per_chip"] or 1.0
+        for r in rows:
+            r["scaling_efficiency"] = round(r["gridpoints_per_s_per_chip"] / base, 3)
+    return rows

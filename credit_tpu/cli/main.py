@@ -253,6 +253,17 @@ srun python -m credit_tpu.cli train {args.config}
     return 0
 
 
+def cmd_benchmark(args):
+    from credit_tpu.applications.benchmark import benchmark_parallelism
+
+    combos = None
+    if args.combos:
+        combos = [tuple(int(v) for v in c.split("x")) for c in args.combos.split(",")]
+    rows = benchmark_parallelism(_load(args), combos=combos, steps=args.steps)
+    print(json.dumps(rows, indent=1))
+    return 0
+
+
 def cmd_serve(args):
     from credit_tpu.serve import serve
 
@@ -311,6 +322,13 @@ def build_parser():
     sp.add_argument("--zone", default=None)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser("benchmark", help="parallelism micro-benchmark")
+    sp.add_argument("config")
+    sp.add_argument("--steps", type=int, default=5)
+    sp.add_argument("--combos", default=None,
+                    help="comma list of dpxtpxdomain, e.g. 1x1x1,2x1x2")
+    sp.set_defaults(fn=cmd_benchmark)
 
     sp = sub.add_parser("serve", help="HTTP forecast server")
     sp.add_argument("config")

@@ -266,6 +266,22 @@ class Trainer:
         best_loss = np.inf
         patience = 0
 
+        # preflight (reference: base_trainer.py:573 runs preflight before the
+        # epoch loop; skipped when disabled in config)
+        if self.conf.get("trainer", {}).get("preflight", True):
+            from credit_tpu.trainers import preflight as pf
+
+            pf.estimate_batch_ram(self.dataset, self.batch_size, self.forecast_len)
+
+        tb = None
+        if self.conf.get("trainer", {}).get("use_tensorboard", False):
+            try:
+                from tensorboardX import SummaryWriter
+
+                tb = SummaryWriter(os.path.join(self.save_loc, "tensorboard"))
+            except ImportError:
+                logger.warning("tensorboardX not available; skipping TB logging")
+
         for epoch in range(self.num_epoch):
             sampler.set_epoch(epoch)
             t0 = time.time()
@@ -291,6 +307,11 @@ class Trainer:
                 if write_header:
                     wcsv.writerow(["epoch", "train_loss", "valid_loss", "seconds", "lr"])
                 wcsv.writerow([epoch, tr, va, dt, float(self.schedule(state.step))])
+            if tb is not None:
+                tb.add_scalar("loss/train", tr, epoch)
+                tb.add_scalar("loss/valid", va, epoch)
+                tb.add_scalar("lr", float(self.schedule(state.step)), epoch)
+                tb.flush()
 
             self.save_checkpoint(state, epoch)
             if va < best_loss:
