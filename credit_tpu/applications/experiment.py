@@ -65,7 +65,8 @@ def run_training(conf: dict, seed: Optional[int] = None):
     cls = load_trainer(conf)
     trainer = cls(conf, exp["model"], exp["loss"], exp["valid_loss"], exp["schema"],
                   exp["dataset"], exp["valid_dataset"],
-                  save_loc=conf.get("save_loc", "./ckpt"))
+                  save_loc=conf.get("save_loc", "./ckpt"),
+                  normalizer=exp["normalizer"])
     state = None
     if conf.get("trainer", {}).get("load_weights"):
         state = trainer.init_state(jax.random.PRNGKey(0))
@@ -96,7 +97,8 @@ def run_rollout(conf: dict, n_steps: Optional[int] = None,
     cls = load_trainer(conf)
     trainer = cls(conf, exp["model"], exp["loss"], exp["valid_loss"], exp["schema"],
                   exp["dataset"], exp["valid_dataset"],
-                  save_loc=conf.get("save_loc", "./ckpt"))
+                  save_loc=conf.get("save_loc", "./ckpt"),
+                  normalizer=exp["normalizer"])
     state = trainer.init_state(jax.random.PRNGKey(0))
     ckpt = os.path.join(trainer.save_loc, "checkpoint")
     if os.path.exists(ckpt):

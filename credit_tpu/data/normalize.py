@@ -34,6 +34,14 @@ class Normalizer:
     def denormalize_target(self, y):
         return y * self.target_std + self.target_mean
 
+    def normalize_forcing(self, f, schema):
+        """Normalize a dynamic-forcing slice with its input-channel stats
+        (forcing splices into the normalized input at rollout time)."""
+        sl = schema.input_slices.get("dynamic_forcing")
+        if sl is None:
+            return f
+        return (f - self.input_mean[sl]) / self.input_std[sl]
+
     @classmethod
     def identity(cls, schema: ChannelSchema) -> "Normalizer":
         return cls(

@@ -77,9 +77,14 @@ class RolloutEngine:
         """Run n_steps; returns the list of (denormalized) predictions unless
         on_step is given (then predictions stream to it and [] is returned).
 
-        forcing_provider(step_index) -> (B, 1, H, W, n_dyn) for the NEXT input.
+        forcing_provider(step_index) -> (B, 1, H, W, n_dyn) for the NEXT
+        input, in PHYSICAL units (normalized on entry when a normalizer is
+        set — the engine runs the model in normalized space throughout and
+        denormalizes only the emitted predictions).
         """
         x = jnp.asarray(x0)
+        if self.normalizer is not None:
+            x = self.normalizer.normalize_input(x)
         outs: List[np.ndarray] = []
         pool = concurrent.futures.ThreadPoolExecutor(async_writers) if on_step else None
         futures = []
@@ -87,7 +92,10 @@ class RolloutEngine:
             f_next = None
             if forcing_provider is not None:
                 f = forcing_provider(s + 1)
-                f_next = None if f is None else jnp.asarray(f)
+                if f is not None:
+                    f_next = jnp.asarray(f)
+                    if self.normalizer is not None:
+                        f_next = self.normalizer.normalize_forcing(f_next, self.schema)
             y_pred, x = self.step(x, f_next)
             y = y_pred
             if denormalize and self.normalizer is not None:

@@ -72,14 +72,29 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                     forecast_len: int = 1,
                     backprop_on_timestep: Optional[Sequence[int]] = None,
                     history_len: int = 1, ema_decay: float = 0.0,
-                    ensemble_size: int = 1):
+                    ensemble_size: int = 1, normalizer=None, preblocks=()):
     """Build the jitted multi-step train step.
 
     batch: {'x': (B, T_hist, H, W, C_in), 'y': (B, S, H, W, C_t),
-            'forcing': (B, S, H, W, n_dyn) optional}
+            'forcing': (B, S, H, W, n_dyn) optional} in PHYSICAL units when a
+    normalizer is given (normalization runs on device inside the step,
+    mirroring the reference's in-step preblocks).
     """
     bp = set(backprop_on_timestep or range(forecast_len))
     n_bp = max(len(bp), 1)
+
+    def prep_batch(batch):
+        if normalizer is None and not preblocks:
+            return batch
+        out = dict(batch)
+        if normalizer is not None:
+            out["x"] = normalizer.normalize_input(batch["x"])
+            out["y"] = normalizer.normalize_target(batch["y"])
+            if batch.get("forcing") is not None:
+                out["forcing"] = normalizer.normalize_forcing(batch["forcing"], schema)
+        for pb in preblocks:
+            out["x"] = pb(out["x"])
+        return out
 
     def apply_model(params, spectral, x, rng=None):
         rngs = {"noise": rng} if rng is not None else None
@@ -88,6 +103,7 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
+        batch = prep_batch(batch)
         x = batch["x"]
         spectral = state.spectral
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
@@ -168,8 +184,15 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
 
 
 def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
-                   forecast_len: int = 1, history_len: int = 1):
+                   forecast_len: int = 1, history_len: int = 1,
+                   normalizer=None):
     def eval_step(state: TrainState, batch):
+        if normalizer is not None:
+            batch = dict(batch,
+                         x=normalizer.normalize_input(batch["x"]),
+                         y=normalizer.normalize_target(batch["y"]),
+                         **({"forcing": normalizer.normalize_forcing(batch["forcing"], schema)}
+                            if batch.get("forcing") is not None else {}))
         x = batch["x"]
         params = state.ema_params if state.ema_params is not None else state.params
         total = 0.0
@@ -194,7 +217,8 @@ class Trainer:
     early stopping (reference: BaseTrainer.fit, base_trainer.py:503)."""
 
     def __init__(self, conf: dict, model, loss_fn, valid_loss_fn, schema: ChannelSchema,
-                 dataset, valid_dataset=None, save_loc: Optional[str] = None):
+                 dataset, valid_dataset=None, save_loc: Optional[str] = None,
+                 normalizer=None):
         self.conf = conf
         t = conf.get("trainer", {})
         self.model = model
@@ -222,12 +246,14 @@ class Trainer:
         self.optimizer = make_optimizer(conf, self.schedule)
         self.loss_fn = loss_fn
         self.valid_loss_fn = valid_loss_fn
+        self.normalizer = normalizer
         self._train_step = jax.jit(make_train_step(
             model, loss_fn, self.optimizer, schema, self.forecast_len,
             self.backprop_on, self.history_len, self.ema_decay if self.use_ema else 0.0,
-            self.ensemble_size))
+            self.ensemble_size, normalizer=normalizer))
         self._eval_step = jax.jit(make_eval_step(
-            model, valid_loss_fn, schema, self.forecast_len, self.history_len))
+            model, valid_loss_fn, schema, self.forecast_len, self.history_len,
+            normalizer=normalizer))
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:
