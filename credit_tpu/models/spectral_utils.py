@@ -28,8 +28,12 @@ def converge_spectral(variables: Dict[str, Any], n_iter: int = 30) -> Dict[str, 
     SN layer holds {'u': (O,), 'v': (rest,)} beside params {'kernel': ...}."""
     if "spectral" not in variables:
         return variables
-    params = variables["params"]
-    spectral = jax.tree_util.tree_map(np.asarray, variables["spectral"])
+    # one batched device_get for the whole tree — per-leaf np.asarray costs a
+    # full host round-trip each (painful over remote-TPU links)
+    host = jax.device_get({"params": variables["params"],
+                           "spectral": variables["spectral"]})
+    params = host["params"]
+    spectral = host["spectral"]
 
     def walk(spec: dict, prm: dict):
         if "u" in spec and "v" in spec and "kernel" in prm:
@@ -46,7 +50,7 @@ def converge_spectral(variables: Dict[str, Any], n_iter: int = 30) -> Dict[str, 
             if isinstance(sub, dict) and key in prm:
                 walk(sub, prm[key])
 
-    walk(spectral, jax.tree_util.tree_map(np.asarray, params))
+    walk(spectral, params)
     out = dict(variables)
     out["spectral"] = spectral
     return out

@@ -109,3 +109,38 @@ def test_bilinear_regrid_smooth_field_accuracy():
     want = np.cos(np.deg2rad(dst_lat))[:, None] * np.sin(np.deg2rad(dst_lon))[None, :]
     r = BilinearRegridder(src_lat, src_lon, dst_lat, dst_lon)
     np.testing.assert_allclose(np.asarray(r(jnp.asarray(f))), want, atol=2e-3)
+
+
+def test_graph_model_forward(rng):
+    conf = {"model": {
+        "type": "graph", "image_height": 12, "image_width": 24, "levels": 2,
+        "channels": 2, "surface_channels": 1, "frames": 1,
+        "hidden_size": 32, "n_blocks": 2, "heads": 4, "knn": 4,
+    }}
+    model = load_model(conf)
+    x = jnp.asarray(rng.standard_normal((2, 1, 12, 24, 5)), jnp.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = model.apply(v, x)
+    assert y.shape == (2, 1, 12, 24, 5)
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_segment_softmax_normalizes():
+    from credit_tpu.models.graph import segment_softmax
+
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((6, 2)), jnp.float32)
+    seg = jnp.asarray([0, 0, 1, 1, 1, 2])
+    a = segment_softmax(logits, seg, 3)
+    sums = np.asarray(jax.ops.segment_sum(a, seg, 3))
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+
+
+def test_knn_edges_symmetric_coverage():
+    from credit_tpu.models.graph import knn_sphere_edges
+
+    src, dst = knn_sphere_edges(np.linspace(90, -90, 8),
+                                np.linspace(0, 360, 16, endpoint=False), k=4)
+    n = 8 * 16
+    assert src.shape == dst.shape
+    assert set(np.unique(dst)) == set(range(n))  # every node receives
+    assert (src != dst).all()
