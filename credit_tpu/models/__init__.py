@@ -17,6 +17,7 @@ def load_model(conf: dict):
     from credit_tpu.models import debugger as _dbg  # noqa: F401
     from credit_tpu.models import fuxi as _fx  # noqa: F401
     from credit_tpu.models import graph as _gr  # noqa: F401
+    from credit_tpu.models import wxformer_next as _nx  # noqa: F401
     from credit_tpu.models import sdl as _sdl  # noqa: F401
     from credit_tpu.models import swin as _sw  # noqa: F401
     from credit_tpu.models import unet as _un  # noqa: F401

@@ -1,0 +1,205 @@
+"""NextGen WXFormer: CrossFormer U-Net + level embeddings, column attention,
+spectral-GNN bottleneck, delta-prediction residual.
+
+Re-design of the reference NextGenWXFormer (reference:
+credit/models/wxformer/wxformer_next.py:493 — LevelEmbedding:362 learned
+per-level bias, ColumnAttention:381 vertical multi-head attention with
+optional spatial pooling, SpectralGNNBottleneck:429 K-virtual-node global
+mixing at O(N*K), PixelShuffle decoder, persistence residual base :655).
+Linear projections (not convs) match the reference's native-TP-friendly
+design — the TP rules in parallel/sharding.py apply directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from credit_tpu import registry
+from credit_tpu.models.base import BaseModel, channels_to_frames
+from credit_tpu.models.crossformer import _tup
+from credit_tpu.models.layers import CrossEmbedLayer, Transformer, UpBlockPS
+from credit_tpu.ops.upsample import bilinear_resize
+
+
+class LevelEmbedding(nn.Module):
+    """Learned per-(var, level) bias on atmospheric channels."""
+
+    n: int
+
+    @nn.compact
+    def __call__(self, x_atmos):
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.n,))
+        return x_atmos + bias
+
+
+class ColumnAttention(nn.Module):
+    """MHA across pressure levels at each location; optional spatial pooling
+    (reference wxformer_next.py:381)."""
+
+    channels: int
+    levels: int
+    num_heads: int = 4
+    spatial_stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_atmos):
+        """x_atmos: (B, H, W, channels*levels)."""
+        b, h, w, cl = x_atmos.shape
+        s = self.spatial_stride
+        x_s = nn.avg_pool(x_atmos, (s, s), (s, s)) if s > 1 else x_atmos
+        hs, ws = x_s.shape[1], x_s.shape[2]
+        # var-major channel layout: (..., C, L) -> tokens over L
+        xt = x_s.reshape(b, hs, ws, self.channels, self.levels)
+        xt = xt.transpose(0, 1, 2, 4, 3).reshape(b * hs * ws, self.levels, self.channels)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(xt)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, use_bias=False, dtype=self.dtype,
+            name="attn")(xn, xn)
+        delta = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
+                         name="proj")(attn)
+        delta = delta.reshape(b, hs, ws, self.levels, self.channels)
+        delta = delta.transpose(0, 1, 2, 4, 3).reshape(b, hs, ws, cl)
+        if s > 1:
+            delta = bilinear_resize(delta, h, w)
+        return x_atmos + delta
+
+
+class SpectralGNNBottleneck(nn.Module):
+    """Pool N spatial nodes to K learned virtual nodes, channel-MLP, scatter
+    back (reference wxformer_next.py:429)."""
+
+    dim: int
+    n_nodes: int
+    num_spectral_nodes: int = 64
+    mlp_ratio: float = 2.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C)."""
+        b, h, w, c = x.shape
+        n, k = self.n_nodes, self.num_spectral_nodes
+        assert n == h * w, (n, h, w)
+        residual = x
+        # GroupNorm(1, dim) == LayerNorm over (H, W, C) jointly per sample
+        xn = x.reshape(b, -1)
+        mean = xn.mean(-1, keepdims=True)
+        var = xn.var(-1, keepdims=True)
+        g = self.param("norm_scale", nn.initializers.ones_init(), (c,))
+        bb = self.param("norm_bias", nn.initializers.zeros_init(), (c,))
+        x = ((xn - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(b, h, w, c) * g + bb
+
+        agg = self.param("agg_w", nn.initializers.normal(n**-0.5), (k, n))
+        scatter = self.param("scatter_w", nn.initializers.normal(k**-0.5), (n, k))
+        flat = x.reshape(b, n, c)
+        s = jnp.einsum("bnc,kn->bkc", flat, agg)
+        hdim = max(1, int(c * self.mlp_ratio))
+        s = nn.Dense(hdim, dtype=self.dtype, name="mlp_fc1")(s)
+        s = nn.gelu(s, approximate=False)
+        s = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(s)
+        delta = jnp.einsum("bkc,nk->bnc", s, scatter).reshape(b, h, w, c)
+        return delta + residual
+
+
+@registry.register("model", "nextgen_wxformer")
+class NextGenWXFormer(BaseModel):
+    image_height: int = 640
+    image_width: int = 1280
+    frames: int = 2
+    output_frames: int = 1
+    channels: int = 4
+    surface_channels: int = 7
+    input_only_channels: int = 3
+    output_only_channels: int = 0
+    levels: int = 15
+    dim: Sequence[int] = (64, 128, 256, 512)
+    depth: Sequence[int] = (2, 2, 8, 2)
+    dim_head: int = 32
+    global_window_size: Sequence[int] = (5, 5, 2, 1)
+    local_window_size: Any = 10
+    cross_embed_kernel_sizes: Sequence = ((4, 8, 16, 32), (2, 4), (2, 4), (2, 4))
+    cross_embed_strides: Sequence[int] = (4, 2, 2, 2)
+    col_attn_heads: int = 4
+    col_attn_stride: int = 1
+    num_spectral_nodes: int = 64
+    use_spectral_norm: bool = True
+    compute_dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def base_input_channels(self):
+        return self.channels * self.levels + self.surface_channels + self.input_only_channels
+
+    @property
+    def base_output_channels(self):
+        return self.channels * self.levels + self.surface_channels + self.output_only_channels
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, T, H, W, C_in) -> (B, 1, H, W, C_out)."""
+        dims = _tup(self.dim)
+        depths = _tup(self.depth)
+        gws = _tup(self.global_window_size)
+        lws = _tup(self.local_window_size)
+        strides = _tup(self.cross_embed_strides)
+        ksizes = tuple(tuple(k) for k in self.cross_embed_kernel_sizes)
+        sn = self.use_spectral_norm
+        dt = self.compute_dtype
+        last = dims[-1]
+        b, t, hh, ww, c_in = x.shape
+        atmos = self.channels * self.levels
+        out_c = self.base_output_channels
+
+        # persistence residual base: prognostic(+surface) of the last frame,
+        # zero-padded for output-only diagnostics (reference :655-660)
+        x_last = x[:, -1]
+        n_avail = min(out_c, c_in)
+        x_res = jnp.pad(x_last[..., :n_avail],
+                        ((0, 0), (0, 0), (0, 0), (0, out_c - n_avail)))
+
+        # per-frame level embedding + column attention on atmos channels;
+        # frames concatenated t-major (reference :662-673)
+        lev_emb = LevelEmbedding(atmos, name="level_embedding")
+        col_attn = ColumnAttention(self.channels, self.levels,
+                                   self.col_attn_heads, self.col_attn_stride,
+                                   dt, name="col_attn")
+        frames = []
+        for ti in range(t):
+            xa = col_attn(lev_emb(x[:, ti, ..., :atmos]))
+            frames.extend([xa, x[:, ti, ..., atmos:]])
+        h = jnp.concatenate(frames, axis=-1)
+
+        encodings = []
+        for i in range(4):
+            h = CrossEmbedLayer(dims[i], ksizes[i], strides[i], use_sn=sn,
+                                dtype=dt, name=f"cel{i}")(h, train)
+            h = Transformer(dims[i], depths[i], lws[i], gws[i], self.dim_head,
+                            use_sn=sn, dtype=dt, remat=self.remat,
+                            name=f"transformer{i}")(h, train)
+            encodings.append(h)
+
+        h = SpectralGNNBottleneck(last, h.shape[1] * h.shape[2],
+                                  self.num_spectral_nodes, dtype=dt,
+                                  name="spectral_bottleneck")(h)
+
+        ng = dims[0]
+        for k, enc in ((1, encodings[2]), (2, encodings[1]), (3, encodings[0])):
+            h = UpBlockPS(last // 2**k, ng, use_sn=sn, dtype=dt,
+                          name=f"up_block{k}")(h, train)
+            h = bilinear_resize(h, enc.shape[1], enc.shape[2])
+            h = jnp.concatenate([h, enc], axis=-1)
+
+        from credit_tpu.models.layers import SNConv
+        from credit_tpu.ops.upsample import icnr_kernel_init, pixel_shuffle
+
+        h = SNConv(out_c * 4, (3, 3), (1, 1), 1, use_sn=sn, dtype=dt,
+                   kernel_init=icnr_kernel_init(2), name="up4_ps_conv")(h, train)
+        h = pixel_shuffle(h, 2)
+        h = bilinear_resize(h, self.image_height, self.image_width)
+        h = h + x_res
+        return channels_to_frames(h, 1)

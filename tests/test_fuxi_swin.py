@@ -85,3 +85,27 @@ def test_swin_shifted_windows_differ_from_unshifted(rng):
     v2 = stage2.init(jax.random.PRNGKey(0), x)
     y2 = stage2.apply(v2, x)
     assert y2.shape == x.shape and bool(jnp.isfinite(y2).all())
+
+
+def test_nextgen_wxformer_forward(rng):
+    conf = {"model": {
+        "type": "nextgen_wxformer", "image_height": 32, "image_width": 64,
+        "frames": 2, "levels": 2, "channels": 2, "surface_channels": 2,
+        "input_only_channels": 1, "output_only_channels": 1,
+        "dim": [16, 32, 64, 128], "depth": [1, 1, 1, 1], "dim_head": 16,
+        "global_window_size": [2, 2, 1, 1], "local_window_size": 2,
+        "cross_embed_kernel_sizes": [[4, 8], [2, 4], [2, 4], [2, 4]],
+        "cross_embed_strides": [2, 2, 2, 2], "col_attn_heads": 2,
+        "col_attn_stride": 2, "num_spectral_nodes": 8,
+        "use_spectral_norm": True,
+    }}
+    model = load_model(conf)
+    c_in = model.base_input_channels  # 7
+    x = jnp.asarray(rng.standard_normal((1, 2, 32, 64, c_in)), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    from credit_tpu.models.spectral_utils import converge_spectral
+
+    variables = converge_spectral(variables)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 1, 32, 64, model.base_output_channels)
+    assert bool(jnp.isfinite(y).all())
