@@ -110,17 +110,23 @@ class ChannelSchema:
                 for name, s, f in expand(src_name, ft, g):
                     target_entries.append(ChannelEntry(name, s, f, len(target_entries)))
 
-        def slices(entries):
-            out = {}
-            for e in entries:
-                if e.field_type not in out:
-                    out[e.field_type] = [e.index, e.index + 1]
-                else:
-                    out[e.field_type][1] = e.index + 1
-            return {k: slice(a, b) for k, (a, b) in out.items()}
+        return cls(input_entries, target_entries,
+                   _field_slices(input_entries), _field_slices(target_entries),
+                   n_levels)
 
-        return cls(input_entries, target_entries, slices(input_entries),
-                   slices(target_entries), n_levels)
+    # ------------------------------------------------------------------
+    def input_segments(self):
+        """Ordered contiguous (source, field_type, start, stop) runs of the
+        input layout — the multi-source-correct generalization of
+        input_slices (one span per (source, type) instead of per type)."""
+        return _segments(self.input_entries)
+
+    def target_segments(self):
+        return _segments(self.target_entries)
+
+    def dynamic_forcing_indices(self) -> List[int]:
+        return [e.index for e in self.input_entries
+                if e.field_type == "dynamic_forcing"]
 
     # ------------------------------------------------------------------
     def update_x(self, x_prev: jnp.ndarray, y_pred: jnp.ndarray,
@@ -128,23 +134,25 @@ class ChannelSchema:
         """Autoregressive splice for the next rollout step
         (reference: channel_utils.py update_x): prognostic channels come from
         y_pred, dynamic_forcing from the dataset, static carried forward.
+        Multi-source layouts are handled per contiguous (source, type) run.
 
-        x_prev: (..., C_in); y_pred: (..., C_target) (prognostics lead);
-        new_forcing: (..., n_dyn) or None. All channels-last.
+        x_prev: (..., C_in); y_pred: (..., C_target);
+        new_forcing: (..., n_dyn) in dynamic_forcing_indices order, or None.
         """
+        tgt_prog = {src: (a, b) for src, ft, a, b in self.target_segments()
+                    if ft == "prognostic"}
         parts = []
-        cursor = 0
-        for ftype in sorted(self.input_slices, key=lambda f: self.input_slices[f].start):
-            sl = self.input_slices[ftype]
+        dyn_cursor = 0
+        for src, ftype, a, b in self.input_segments():
             if ftype == "prognostic":
-                tsl = self.target_slices["prognostic"]
-                parts.append(y_pred[..., tsl])
+                ta, tb = tgt_prog[src]
+                parts.append(y_pred[..., ta:tb])
             elif ftype == "dynamic_forcing" and new_forcing is not None:
-                parts.append(new_forcing)
+                n = b - a
+                parts.append(new_forcing[..., dyn_cursor:dyn_cursor + n])
+                dyn_cursor += n
             else:
-                parts.append(x_prev[..., sl])
-            cursor = sl.stop
-        del cursor
+                parts.append(x_prev[..., a:b])
         return jnp.concatenate(parts, axis=-1)
 
     # ------------------------------------------------------------------
@@ -168,14 +176,29 @@ class ChannelSchema:
             payload = json.load(f)
         ins = [ChannelEntry(n, s, ft, i) for i, (n, s, ft) in enumerate(payload["input"])]
         tgts = [ChannelEntry(n, s, ft, i) for i, (n, s, ft) in enumerate(payload["target"])]
+        return cls(ins, tgts, _field_slices(ins), _field_slices(tgts),
+                   payload["n_levels"])
 
-        def slices(entries):
-            out = {}
-            for e in entries:
-                if e.field_type not in out:
-                    out[e.field_type] = [e.index, e.index + 1]
-                else:
-                    out[e.field_type][1] = e.index + 1
-            return {k: slice(a, b) for k, (a, b) in out.items()}
 
-        return cls(ins, tgts, slices(ins), slices(tgts), payload["n_levels"])
+def _field_slices(entries):
+    """Per-field-type span (valid for single-source layouts; multi-source
+    callers should use the *_segments APIs)."""
+    out = {}
+    for e in entries:
+        if e.field_type not in out:
+            out[e.field_type] = [e.index, e.index + 1]
+        else:
+            out[e.field_type][1] = e.index + 1
+    return {k: slice(a, b) for k, (a, b) in out.items()}
+
+
+def _segments(entries):
+    """Contiguous (source, field_type, start, stop) runs in layout order."""
+    segs = []
+    for e in entries:
+        if segs and segs[-1][0] == e.source and segs[-1][1] == e.field_type \
+                and segs[-1][3] == e.index:
+            segs[-1][3] = e.index + 1
+        else:
+            segs.append([e.source, e.field_type, e.index, e.index + 1])
+    return [tuple(s) for s in segs]

@@ -84,10 +84,11 @@ class LocalDataset:
         return self._stack(t_idx, self.schema.target_entries)[None]
 
     def forcing_at(self, t_idx: int) -> Optional[np.ndarray]:
-        sl = self.schema.input_slices.get("dynamic_forcing")
-        if sl is None:
+        idx = self.schema.dynamic_forcing_indices()
+        if not idx:
             return None
-        return self._stack(t_idx, self.schema.input_entries[sl])[None]
+        ents = [self.schema.input_entries[i] for i in idx]
+        return self._stack(t_idx, ents)[None]
 
     def sample(self, t_idx: int, n_steps: int = 1):
         out = {
@@ -116,7 +117,12 @@ def load_dataset(conf: dict, schema: ChannelSchema, grid, split: str = "train"):
     data = conf.get("data", {}) or {}
     dconf = conf.get("data_valid", data) if split == "valid" else data
     history_len = int(dconf.get("history_len", 1)) or 1
-    src = next(iter((dconf.get("source") or {"ERA5": {}}).values()))
+    sources = dconf.get("source") or {"ERA5": {}}
+    if len(sources) > 1:
+        from credit_tpu.data.multi_source import build_multi_source
+
+        return build_multi_source(conf, schema, grid, split)
+    src = next(iter(sources.values()))
     dtype = src.get("dataset_type", "synthetic" if not src.get("path") else "local")
     if dtype == "synthetic":
         return SyntheticDataset(schema, grid, history_len=history_len,

@@ -37,10 +37,11 @@ class Normalizer:
     def normalize_forcing(self, f, schema):
         """Normalize a dynamic-forcing slice with its input-channel stats
         (forcing splices into the normalized input at rollout time)."""
-        sl = schema.input_slices.get("dynamic_forcing")
-        if sl is None:
+        idx = schema.dynamic_forcing_indices()
+        if not idx:
             return f
-        return (f - self.input_mean[sl]) / self.input_std[sl]
+        idx = jnp.asarray(idx)
+        return (f - self.input_mean[idx]) / self.input_std[idx]
 
     @classmethod
     def identity(cls, schema: ChannelSchema) -> "Normalizer":

@@ -67,10 +67,10 @@ class SyntheticDataset:
         return self._stack(t_idx, self.schema.target_entries)[None]  # (1, lat, lon, C_t)
 
     def forcing_at(self, t_idx: int) -> Optional[np.ndarray]:
-        sl = self.schema.input_slices.get("dynamic_forcing")
-        if sl is None:
+        idx = self.schema.dynamic_forcing_indices()
+        if not idx:
             return None
-        ents = self.schema.input_entries[sl]
+        ents = [self.schema.input_entries[i] for i in idx]
         return self._stack(t_idx, ents)[None]  # (1, lat, lon, n_dyn)
 
     def sample(self, t_idx: int, n_steps: int = 1) -> Dict[str, np.ndarray]:
