@@ -360,8 +360,14 @@ def build_postblocks(conf: dict, schema: ChannelSchema, grid,
     post_conf = (conf.get("model", {}) or {}).get("post_conf") or conf.get("post_conf") or {}
     if not post_conf.get("activate"):
         return []
-    order = ["tracer_fixer", "global_mass_fixer", "global_water_fixer",
-             "global_energy_fixer", "mslp_diagnostic", "geopotential_diagnostic"]
+    from credit_tpu.postblock import stochastic as _st  # noqa: F401 (registration)
+    from credit_tpu.postblock import wind_filter as _wf  # noqa: F401
+
+    # gen1 PostBlock op order: tracer -> SKEBS -> mass -> water -> energy
+    # (reference postblock/gen1.py:37), then diagnostics and filters
+    order = ["tracer_fixer", "skebs", "global_mass_fixer", "global_water_fixer",
+             "global_energy_fixer", "semilagrangian_advection",
+             "wind_artifact_filter", "mslp_diagnostic", "geopotential_diagnostic"]
     blocks: List[Callable] = []
     need_phys = any(post_conf.get(k, {}).get("activate") for k in order)
     if need_phys and normalizer is not None:

@@ -1,0 +1,122 @@
+"""Stateful postblocks: SKEBS perturbation and semi-Lagrangian advection.
+
+The reference runs SKEBS inside the model's gen1 PostBlock with hidden
+module state (reference: credit/postblock/gen1.py:37 ordered op list with
+SKEBS second; credit/skebs.py carries spec_coef across forward calls). Here
+they are *stateful postblocks*: explicit (state, key) threading that the
+rollout engine carries — jit/scan-safe by construction.
+
+Protocol:
+  block.init_state(batch_size) -> state pytree
+  block(y_pred, x, state, key) -> (y_pred, new_state)
+Stateless postblocks keep the plain (y_pred, x) -> y_pred signature.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from credit_tpu import registry
+from credit_tpu.data.channels import ChannelSchema
+from credit_tpu.postblock import BasePostblock, _VarView
+
+
+class StatefulPostblock(BasePostblock):
+    is_stateful = True
+
+    def init_state(self, batch_size: int):
+        raise NotImplementedError
+
+    def __call__(self, y_pred, x, state, key):
+        raise NotImplementedError
+
+
+@registry.register("postblock", "skebs")
+class SKEBSPostblock(StatefulPostblock):
+    """Perturb predicted winds with the SKEBS backscatter pattern
+    (reference: skebs.py:596 forward — perturbation applied to U/V channels
+    of y_pred in physical space)."""
+
+    def __init__(self, schema: ChannelSchema, grid, U_var="U", V_var="V",
+                 **skebs_kwargs):
+        from credit_tpu.physics.skebs import SKEBS, SKEBSParams
+
+        params = SKEBSParams(**{k: skebs_kwargs.pop(k) for k in
+                                ("alpha", "variance", "p", "dE", "r")
+                                if k in skebs_kwargs})
+        skebs_kwargs.pop("activate", None)
+        self.skebs = SKEBS(grid, params, **skebs_kwargs)
+        self.U = _VarView(schema, U_var)
+        self.V = _VarView(schema, V_var)
+
+    def init_state(self, batch_size: int):
+        return self.skebs.init_state(jax.random.PRNGKey(0), batch_size)
+
+    def __call__(self, y_pred, x, state, key):
+        u = self.U.get(y_pred)  # (B, T, H, W, L) or (B, T, H, W)
+        v = self.V.get(y_pred)
+        has_lev = u.ndim == 5
+        # SKEBS pattern is (B, lat, lon); broadcast over T (and levels)
+        new_coef = self.skebs.cycle(state, key)
+        u_chi, v_chi = self.skebs.sht.grad_from_spec(new_coef)
+        pert_u = u_chi[:, None, :, :]
+        pert_v = v_chi[:, None, :, :]
+        if has_lev:
+            pert_u = pert_u[..., None]
+            pert_v = pert_v[..., None]
+        rate = self.skebs.backscatter_rate(None)
+        diss = jnp.sqrt(self.skebs.params.r * rate / self.skebs.params.dE)
+        y_pred = self.U.set(y_pred, u + diss * pert_u)
+        y_pred = self.V.set(y_pred, v + diss * pert_v)
+        return y_pred, new_coef
+
+
+@registry.register("postblock", "semilagrangian_advection")
+class AdvectionPostblock(BasePostblock):
+    """Advect tracers one step with the predicted winds (reference:
+    credit/postblock/advect.py:426). Stateless: winds/SP come from y_pred."""
+
+    def __init__(self, schema: ChannelSchema, grid, a_half, b_half,
+                 tracer_vars: Sequence[str] = ("Q",), U_var="U", V_var="V",
+                 sp_var="SP", timestep_seconds: float = 21600.0,
+                 n_iterations: int = 2, **_):
+        from credit_tpu.physics.advection import SemiLagrangianAdvection
+
+        self.engine = SemiLagrangianAdvection(
+            grid, a_half, b_half, timestep_seconds, n_iterations)
+        self.tracers = [_VarView(schema, v) for v in tracer_vars]
+        self.U = _VarView(schema, U_var)
+        self.V = _VarView(schema, V_var)
+        self.sp = _VarView(schema, sp_var)
+
+    def __call__(self, y_pred, x):
+        b, t = y_pred.shape[:2]
+        u = self.U.get(y_pred).reshape(b * t, *y_pred.shape[2:4], -1)
+        v = self.V.get(y_pred).reshape(b * t, *y_pred.shape[2:4], -1)
+        sp = self.sp.get(y_pred).reshape(b * t, *y_pred.shape[2:4])
+        fields = [tv.get(y_pred) for tv in self.tracers]
+        flat = [f.reshape(b * t, *y_pred.shape[2:4], -1) for f in fields]
+        out = self.engine.advect(flat, u, v, sp)
+        for tv, orig, adv in zip(self.tracers, fields, out):
+            y_pred = tv.set(y_pred, adv.reshape(orig.shape))
+        return y_pred
+
+
+def apply_postblocks_stateful(blocks, y_pred, x, states: dict, key):
+    """Apply a mixed stateless/stateful pipeline; returns (y_pred, states)."""
+    new_states = dict(states)
+    for i, b in enumerate(blocks):
+        if getattr(b, "is_stateful", False):
+            key, sub = jax.random.split(key)
+            y_pred, new_states[i] = b(y_pred, x, states[i], sub)
+        else:
+            y_pred = b(y_pred, x)
+    return y_pred, new_states
+
+
+def init_postblock_states(blocks, batch_size: int) -> dict:
+    return {i: b.init_state(batch_size) for i, b in enumerate(blocks)
+            if getattr(b, "is_stateful", False)}

@@ -44,31 +44,51 @@ class RolloutEngine:
             "params": params if params is not None else variables["params"],
             "spectral": variables.get("spectral", {}),
         }
+        from credit_tpu.postblock.stochastic import (
+            apply_postblocks_stateful, init_postblock_states)
 
-        def step(variables, x, forcing_next):
+        self._init_states = init_postblock_states
+        self._has_stateful = any(getattr(b, "is_stateful", False)
+                                 for b in self.postblocks)
+
+        def step(variables, x, forcing_next, states, key):
             """x: (B, T_hist, H, W, C_in); forcing_next: (B, 1, H, W, n_dyn) or None.
-            Returns (y_pred, x_next) — y_pred in normalized space."""
+            Returns (y_pred, x_next, states) — y_pred in normalized space."""
             y_pred = self.model.apply(variables, x)
-            for pb in self.postblocks:
-                y_pred = pb(y_pred, x)
+            y_pred, states = apply_postblocks_stateful(
+                self.postblocks, y_pred, x, states, key)
             new_frame = self.schema.update_x(x[:, -1:], y_pred[:, -1:], forcing_next)
             if self.history_len > 1:
                 x_next = jnp.concatenate([x[:, 1:], new_frame], axis=1)
             else:
                 x_next = new_frame
-            return y_pred, x_next
+            return y_pred, x_next, states
 
         self._step = jax.jit(step)
 
-        def step_nofrc(variables, x):
-            return step(variables, x, None)
+        def step_nofrc(variables, x, states, key):
+            return step(variables, x, None, states, key)
 
         self._step_nofrc = jax.jit(step_nofrc)
+        self._states = {}
+        self._key = jax.random.PRNGKey(0)
+
+    def reset(self, batch_size: int = 1, seed: int = 0):
+        """(Re)initialize stateful-postblock state (SKEBS pattern etc.)."""
+        self._states = self._init_states(self.postblocks, batch_size)
+        self._key = jax.random.PRNGKey(seed)
 
     def step(self, x, forcing_next=None):
+        if self._has_stateful and not self._states:
+            self.reset(x.shape[0])
+        self._key, sub = jax.random.split(self._key)
         if forcing_next is None:
-            return self._step_nofrc(self.variables, x)
-        return self._step(self.variables, x, forcing_next)
+            y, x2, self._states = self._step_nofrc(self.variables, x,
+                                                   self._states, sub)
+        else:
+            y, x2, self._states = self._step(self.variables, x, forcing_next,
+                                             self._states, sub)
+        return y, x2
 
     def run(self, x0: jnp.ndarray, n_steps: int,
             forcing_provider: Optional[Callable[[int], np.ndarray]] = None,
