@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -22,7 +22,6 @@ logger = logging.getLogger(__name__)
 def build_experiment(conf: dict) -> Dict[str, Any]:
     import jax
 
-    from credit_tpu import registry
     from credit_tpu.config import model_channel_check
     from credit_tpu.data.channels import ChannelSchema
     from credit_tpu.data.local import load_dataset
@@ -59,7 +58,7 @@ def run_training(conf: dict, seed: Optional[int] = None):
     """credit-tpu train (reference: applications/train_gen2.py)."""
     import jax
 
-    from credit_tpu.trainers.trainer import Trainer, load_trainer
+    from credit_tpu.trainers.trainer import load_trainer
 
     exp = build_experiment(conf)
     cls = load_trainer(conf)

@@ -173,7 +173,6 @@ def cmd_metrics(args):
 
     from credit_tpu.applications.experiment import build_experiment
     from credit_tpu.metrics import LatWeightedMetrics
-    from credit_tpu.output import split_channels
     from credit_tpu.utils.ncio import open_dataset
 
     conf = _load(args)

@@ -11,7 +11,6 @@ validate with focused checks that raise actionable errors.
 from __future__ import annotations
 
 import copy
-import os
 from typing import Any, Dict
 
 import yaml

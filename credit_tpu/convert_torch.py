@@ -19,7 +19,7 @@ the same table drives save-side export for interchange.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -12,8 +12,6 @@ plug in through the same interface when zarr/xarray are installed.
 from __future__ import annotations
 
 import glob
-import os
-import re
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -10,7 +10,7 @@ sub-dataset fills exactly its source's channel block.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

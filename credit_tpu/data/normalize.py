@@ -9,7 +9,7 @@ channels-last tensors fully on device.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

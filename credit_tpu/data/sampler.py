@@ -10,7 +10,7 @@ consecutive rollout steps.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence
+from typing import Iterator
 
 import numpy as np
 

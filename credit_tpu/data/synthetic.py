@@ -9,7 +9,7 @@ multi-process / multi-host loaders agree without communication.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

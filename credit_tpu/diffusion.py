@@ -12,7 +12,7 @@ The backbone predicts eps/x0/v given (condition, noisy target, t).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Literal
+from typing import Callable, Literal
 
 import jax
 import jax.numpy as jnp

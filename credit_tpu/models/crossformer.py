@@ -19,7 +19,7 @@ Differences by design (not omissions):
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

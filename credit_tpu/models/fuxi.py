@@ -10,7 +10,7 @@ Channels-last; optional noise injection hook mirrors the SDL variant.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

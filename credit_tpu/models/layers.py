@@ -15,7 +15,7 @@ Design notes vs the reference (credit/models/wxformer/crossformer.py):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

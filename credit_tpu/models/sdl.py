@@ -20,7 +20,7 @@ from credit_tpu import registry
 from credit_tpu.models.base import channels_to_frames, frames_to_channels
 from credit_tpu.models.crossformer import CrossFormer, _tup
 from credit_tpu.models.layers import (
-    CrossEmbedLayer, SNConv, SNConvTranspose, Transformer, UpBlock)
+    CrossEmbedLayer, SNConvTranspose, Transformer, UpBlock)
 from credit_tpu.ops.padding import TensorPadding
 from credit_tpu.ops.upsample import bilinear_resize
 

@@ -11,7 +11,7 @@ residuals. Channels-last throughout; windows partition as pure reshapes.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -12,11 +12,6 @@ are config-driven on the shared backbones.
 
 from __future__ import annotations
 
-from typing import Any
-
-import jax.numpy as jnp
-from flax import linen as nn
-
 from credit_tpu import registry
 from credit_tpu.models.crossformer import CrossFormer
 from credit_tpu.models.swin import SwinTransformerV2

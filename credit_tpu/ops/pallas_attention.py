@@ -14,7 +14,6 @@ tile; both paths are numerically interchangeable (see tests).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

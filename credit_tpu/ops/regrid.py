@@ -11,8 +11,6 @@ Layout: fields (..., lat, lon).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

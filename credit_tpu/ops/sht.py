@@ -18,7 +18,6 @@ Memory: the P table is (mmax, lmax, nlat); for 1-deg (181^3) ~ 24 MB. For
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -15,8 +15,6 @@ Window semantics (matching the reference rearranges):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,6 @@ Layout inside shard_map: local blocks (..., lat_local, lon, C).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

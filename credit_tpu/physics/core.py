@@ -12,14 +12,11 @@ channels-last tensors is free.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 import numpy as np
 
 from credit_tpu.physics.constants import (
-    CP_DRY, CP_VAPOR, EPSGAS, GRAVITY, LH_WATER, RAD_EARTH, RDGAS, RHO_WATER,
-)
+    CP_DRY, CP_VAPOR, EPSGAS, GRAVITY, LH_WATER, RDGAS)
 
 
 def virtual_temperature(t, q):

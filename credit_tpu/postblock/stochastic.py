@@ -14,7 +14,7 @@ Stateless postblocks keep the plain (y_pred, x) -> y_pred signature.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ anisotropically-smoothed field). All convs are depthwise lax convs.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

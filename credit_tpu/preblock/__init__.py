@@ -11,7 +11,7 @@ rollout step — same phase contract as the reference).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ in JAX this is a jitted gradient descent on x0 through the rollout.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

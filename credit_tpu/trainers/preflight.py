@@ -12,9 +12,7 @@ from __future__ import annotations
 import logging
 import threading
 import time
-from typing import Any, Dict, Optional
-
-import numpy as np
+from typing import Dict, Optional
 
 logger = logging.getLogger(__name__)
 

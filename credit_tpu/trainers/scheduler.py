@@ -5,7 +5,6 @@ annealed_probability:220)."""
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import optax
