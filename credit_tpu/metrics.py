@@ -83,3 +83,43 @@ def zonal_spectrum(f: jnp.ndarray) -> jnp.ndarray:
     mag = (fk * jnp.conj(fk)).real
     scale = jnp.ones(mag.shape[-1]).at[1:].set(2.0)
     return mag * scale
+
+
+def binned_spread_skill(target: jnp.ndarray, pred_ens: jnp.ndarray,
+                        n_bins: int = 10):
+    """Binned spread-skill relation (reference: credit/verification/
+    ensemble.py:45): bin grid points by ensemble spread, return per-bin
+    (mean spread, RMSE of the ensemble mean). A calibrated ensemble tracks
+    the 1:1 line."""
+    mean = pred_ens.mean(axis=1)
+    err2 = (mean - target) ** 2
+    var = pred_ens.var(axis=1, ddof=1)
+    spread = jnp.sqrt(var).ravel()
+    err2 = err2.ravel()
+    edges = jnp.quantile(spread, jnp.linspace(0, 1, n_bins + 1))
+    idx = jnp.clip(jnp.searchsorted(edges[1:-1], spread), 0, n_bins - 1)
+    import jax
+
+    cnt = jax.ops.segment_sum(jnp.ones_like(spread), idx, n_bins)
+    sp_bin = jax.ops.segment_sum(spread, idx, n_bins) / jnp.maximum(cnt, 1)
+    rmse_bin = jnp.sqrt(jax.ops.segment_sum(err2, idx, n_bins) / jnp.maximum(cnt, 1))
+    return sp_bin, rmse_bin, cnt
+
+
+def divergent_rotational_spectra(u: jnp.ndarray, v: jnp.ndarray, grid):
+    """Per-degree divergent and rotational kinetic-energy spectra via the
+    SHT (reference: credit/verification/standard.py:50): KE_l from the
+    vorticity/divergence coefficients."""
+    import numpy as np
+
+    from credit_tpu.ops.sht import SHT
+
+    sht = SHT(np.asarray(grid.lat), grid.nlon, grid="equiangular")
+    vrt, div = sht.vrtdiv_spec(u, v)
+    eig = -sht.laplacian
+    inv = jnp.where(eig > 0, 1.0 / jnp.maximum(eig, 1e-30), 0.0)[:, None]
+    # KE_l = l(l+1)/(2) * |psi_lm|^2 summed over m, psi = invlap(vrt)
+    scale = jnp.ones(sht.mmax).at[1:].set(2.0)  # hermitian doubling
+    ke_rot = 0.5 * jnp.sum(jnp.abs(vrt) ** 2 * inv * scale, axis=-1)
+    ke_div = 0.5 * jnp.sum(jnp.abs(div) ** 2 * inv * scale, axis=-1)
+    return ke_rot, ke_div

@@ -138,3 +138,33 @@ def test_lat_weighted_metrics(grid, rng):
     assert "spread" in eo and np.isfinite(float(eo["spread"]))
     sp, sk = spread_error(t, ens)
     assert np.isfinite(float(sp)) and np.isfinite(float(sk))
+
+
+def test_binned_spread_skill(grid, rng):
+    from credit_tpu.metrics import binned_spread_skill
+
+    center = jnp.asarray(rng.standard_normal((4, 16, 16)), jnp.float32)
+    # calibrated heteroscedastic ensemble: truth is exchangeable with members
+    sigma = jnp.asarray(rng.uniform(0.1, 2.0, (4, 16, 16)), jnp.float32)
+    t = center + sigma * jnp.asarray(rng.standard_normal((4, 16, 16)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((4, 8, 16, 16)), jnp.float32)
+    ens = center[:, None] + sigma[:, None] * eps
+    sp, rmse, cnt = binned_spread_skill(t, ens, n_bins=5)
+    sp, rmse = np.asarray(sp), np.asarray(rmse)
+    assert cnt.sum() == t.size
+    # calibrated: binned rmse tracks binned spread within ~30%
+    ratio = rmse[1:] / np.clip(sp[1:], 1e-6, None)
+    assert (np.abs(ratio - 1) < 0.35).all(), ratio
+
+
+def test_div_rot_spectra(grid):
+    from credit_tpu.metrics import divergent_rotational_spectra
+    from credit_tpu.ops.sht import SHT
+
+    sht = SHT(np.asarray(grid.lat), grid.nlon, grid="equiangular")
+    # purely rotational wind from a streamfunction
+    flm = jnp.zeros((sht.lmax, sht.mmax), jnp.complex64).at[5, 2].set(1e8)
+    u, v = sht.uv_from_streamfunction(flm)
+    ke_rot, ke_div = divergent_rotational_spectra(u, v, grid)
+    ke_rot, ke_div = np.asarray(ke_rot), np.asarray(ke_div)
+    assert ke_rot[5] > 100 * max(ke_div.max(), 1e-30)
