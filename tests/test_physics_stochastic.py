@@ -147,14 +147,17 @@ def test_binned_spread_skill(grid, rng):
     # calibrated heteroscedastic ensemble: truth is exchangeable with members
     sigma = jnp.asarray(rng.uniform(0.1, 2.0, (4, 16, 16)), jnp.float32)
     t = center + sigma * jnp.asarray(rng.standard_normal((4, 16, 16)), jnp.float32)
-    eps = jnp.asarray(rng.standard_normal((4, 8, 16, 16)), jnp.float32)
+    # large ensemble keeps the sample-spread binning selection bias small
+    eps = jnp.asarray(rng.standard_normal((4, 64, 16, 16)), jnp.float32)
     ens = center[:, None] + sigma[:, None] * eps
     sp, rmse, cnt = binned_spread_skill(t, ens, n_bins=5)
     sp, rmse = np.asarray(sp), np.asarray(rmse)
     assert cnt.sum() == t.size
-    # calibrated: binned rmse tracks binned spread within ~30%
+    # calibrated: binned rmse tracks binned spread (1:1 up to sampling noise)
     ratio = rmse[1:] / np.clip(sp[1:], 1e-6, None)
-    assert (np.abs(ratio - 1) < 0.35).all(), ratio
+    assert (np.abs(ratio - 1) < 0.3).all(), ratio
+    # and the relation is monotone: higher spread bins have higher error
+    assert (np.diff(rmse) > 0).all()
 
 
 def test_div_rot_spectra(grid):
