@@ -354,12 +354,22 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, state: TrainState, epoch: int, tag: str = "checkpoint"):
+        """Full training state incl. optimizer moments (reference:
+        base_trainer._save_checkpoint writes epoch/model/optimizer/scheduler;
+        a previous-epoch backup is kept like backup_checkpoint.pt)."""
+        import shutil
+
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.save_loc, tag))
+        if tag == "checkpoint" and os.path.exists(path) and \
+                self.conf.get("trainer", {}).get("save_backup_weights"):
+            backup = os.path.abspath(os.path.join(self.save_loc, "backup_checkpoint"))
+            shutil.rmtree(backup, ignore_errors=True)
+            shutil.copytree(path, backup)
         ckptr = ocp.StandardCheckpointer()
         payload = {"params": state.params, "spectral": state.spectral,
-                   "step": state.step}
+                   "step": state.step, "opt_state": state.opt_state}
         if state.ema_params is not None:
             payload["ema_params"] = state.ema_params
         ckptr.save(path, payload, force=True)
@@ -367,18 +377,27 @@ class Trainer:
         with open(os.path.join(self.save_loc, "epoch.txt"), "w") as f:
             f.write(str(epoch))
 
-    def load_checkpoint(self, state: TrainState, tag: str = "checkpoint") -> TrainState:
+    def load_checkpoint(self, state: TrainState, tag: str = "checkpoint",
+                        load_optimizer: bool = True) -> TrainState:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.save_loc, tag))
         ckptr = ocp.StandardCheckpointer()
-        template = {"params": state.params, "spectral": state.spectral, "step": state.step}
+        template = {"params": state.params, "spectral": state.spectral,
+                    "step": state.step, "opt_state": state.opt_state}
         if state.ema_params is not None:
             template["ema_params"] = state.ema_params
-        restored = ckptr.restore(path, template)
-        return state.replace(params=restored["params"], spectral=restored["spectral"],
-                             step=restored["step"],
-                             ema_params=restored.get("ema_params", state.ema_params))
+        try:
+            restored = ckptr.restore(path, template)
+        except Exception:  # older checkpoint without opt_state
+            template.pop("opt_state")
+            restored = ckptr.restore(path, template)
+        return state.replace(
+            params=restored["params"], spectral=restored["spectral"],
+            step=restored["step"],
+            opt_state=restored.get("opt_state", state.opt_state)
+            if load_optimizer else state.opt_state,
+            ema_params=restored.get("ema_params", state.ema_params))
 
 
 def load_trainer(conf: dict):

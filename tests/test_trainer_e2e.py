@@ -167,3 +167,23 @@ def test_scan_rollout_matches_loop(setup):
     # stats are per-step channel means of y_pred
     loop_means = np.stack([o.mean(axis=(0, 1, 2, 3)) for o in outs])
     np.testing.assert_allclose(np.asarray(stats), loop_means, rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_restores_optimizer_state(setup):
+    conf, schema, grid, dataset, model, trainer = setup
+    state = trainer.fit(seed=0)
+    state2 = trainer.init_state(jax.random.PRNGKey(9))
+    restored = trainer.load_checkpoint(state2)
+    # adam moments restored (non-zero and matching)
+    import optax
+
+    def mu_leaves(s):
+        leaves = [l for l in jax.tree_util.tree_leaves(s)
+                  if hasattr(l, "shape") and l.ndim > 0]
+        return leaves
+
+    a = mu_leaves(state.opt_state)
+    b = mu_leaves(restored.opt_state)
+    assert len(a) == len(b) and len(a) > 0
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+    assert float(np.abs(np.asarray(b[0])).max()) > 0
