@@ -263,6 +263,76 @@ def cmd_benchmark(args):
     return 0
 
 
+def cmd_summary(args):
+    """Model parameter summary (reference: applications/model_summary.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from credit_tpu.applications.experiment import build_experiment
+
+    conf = _load(args)
+    exp = build_experiment(conf)
+    model, schema = exp["model"], exp["schema"]
+    x = jnp.zeros((1, int(conf.get("data", {}).get("history_len", 1)) or 1,
+                   conf["model"]["image_height"], conf["model"]["image_width"],
+                   schema.n_input), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    rows = []
+    total = 0
+    flat = jax.tree_util.tree_flatten_with_path(shapes.get("params", shapes))[0]
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        n = int(np.prod(leaf.shape))
+        total += n
+        rows.append((name, tuple(leaf.shape), n))
+    top = conf.get("model", {}).get("type")
+    print(f"model: {top}  input channels: {schema.n_input}  "
+          f"target channels: {schema.n_target}")
+    if args.verbose:
+        for name, shape, n in rows:
+            print(f"  {name:70s} {str(shape):22s} {n:>12,}")
+    by_block = {}
+    for name, shape, n in rows:
+        by_block[name.split("/")[0]] = by_block.get(name.split("/")[0], 0) + n
+    for blk, n in sorted(by_block.items(), key=lambda kv: -kv[1]):
+        print(f"  {blk:30s} {n:>14,}  ({100*n/total:.1f}%)")
+    print(f"total parameters: {total:,} ({total/1e6:.2f}M)")
+    return 0
+
+
+def cmd_convert_checkpoint(args):
+    """Convert a reference PyTorch checkpoint (.pt) into this framework's
+    orbax checkpoint (the HF wxformer weights interchange path)."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from credit_tpu.applications.experiment import build_experiment
+    from credit_tpu.convert_torch import convert_crossformer, load_torch_checkpoint
+
+    conf = _load(args)
+    exp = build_experiment(conf)
+    model, schema = exp["model"], exp["schema"]
+    x = jnp.zeros((1, int(conf.get("data", {}).get("history_len", 1)) or 1,
+                   conf["model"]["image_height"], conf["model"]["image_width"],
+                   schema.n_input), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    sd = load_torch_checkpoint(args.torch_checkpoint)
+    variables = convert_crossformer(sd, variables, strict=not args.lenient)
+    out = os.path.abspath(args.out or os.path.join(
+        conf.get("save_loc", "."), "checkpoint"))
+    ckptr = ocp.StandardCheckpointer()
+    import numpy as np
+
+    ckptr.save(out, {"params": variables["params"],
+                     "spectral": variables["spectral"],
+                     "step": np.zeros((), "int32")}, force=True)
+    ckptr.wait_until_finished()
+    print(out)
+    return 0
+
+
 def cmd_serve(args):
     from credit_tpu.serve import serve
 
@@ -321,6 +391,19 @@ def build_parser():
     sp.add_argument("--zone", default=None)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser("summary", help="model parameter summary")
+    sp.add_argument("config")
+    sp.add_argument("-v", "--verbose", action="store_true")
+    sp.set_defaults(fn=cmd_summary)
+
+    sp = sub.add_parser("convert-checkpoint",
+                        help="torch .pt checkpoint -> orbax checkpoint")
+    sp.add_argument("config")
+    sp.add_argument("torch_checkpoint")
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--lenient", action="store_true")
+    sp.set_defaults(fn=cmd_convert_checkpoint)
 
     sp = sub.add_parser("benchmark", help="parallelism micro-benchmark")
     sp.add_argument("config")
