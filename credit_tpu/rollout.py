@@ -54,7 +54,8 @@ class RolloutEngine:
         def step(variables, x, forcing_next, states, key):
             """x: (B, T_hist, H, W, C_in); forcing_next: (B, 1, H, W, n_dyn) or None.
             Returns (y_pred, x_next, states) — y_pred in normalized space."""
-            y_pred = self.model.apply(variables, x)
+            key, noise_key = jax.random.split(key)
+            y_pred = self.model.apply(variables, x, rngs={"noise": noise_key})
             y_pred, states = apply_postblocks_stateful(
                 self.postblocks, y_pred, x, states, key)
             new_frame = self.schema.update_x(x[:, -1:], y_pred[:, -1:], forcing_next)

@@ -185,7 +185,7 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
 
 def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
                    forecast_len: int = 1, history_len: int = 1,
-                   normalizer=None):
+                   normalizer=None, ensemble_size: int = 1):
     def eval_step(state: TrainState, batch):
         if normalizer is not None:
             batch = dict(batch,
@@ -198,8 +198,16 @@ def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
         total = 0.0
         for s in range(forecast_len):
             y_t = batch["y"][:, s][:, None]
-            y_pred = model.apply({"params": params, "spectral": state.spectral}, x)
-            total = total + loss_fn(y_t, y_pred)
+            x_in = jnp.repeat(x, ensemble_size, axis=0) if ensemble_size > 1 else x
+            y_pred = model.apply({"params": params, "spectral": state.spectral}, x_in,
+                                 rngs={"noise": jax.random.PRNGKey(s)})
+            if ensemble_size > 1:
+                b = y_t.shape[0]
+                y_e = y_pred.reshape(b, ensemble_size, *y_pred.shape[1:])
+                total = total + loss_fn(y_t, y_e)
+                y_pred = y_e.mean(axis=1)
+            else:
+                total = total + loss_fn(y_t, y_pred)
             if s + 1 < forecast_len:
                 forcing = batch.get("forcing")
                 f_next = None if forcing is None else forcing[:, s + 1][:, None]
@@ -251,15 +259,20 @@ class Trainer:
             model, loss_fn, self.optimizer, schema, self.forecast_len,
             self.backprop_on, self.history_len, self.ema_decay if self.use_ema else 0.0,
             self.ensemble_size, normalizer=normalizer))
+        # CRPS-family validation needs >= 2 members (reference:
+        # losses/__init__.py CRPS_LOSSES gate on trainer.ensemble_size)
+        eval_ens = (max(self.ensemble_size, 2)
+                    if getattr(valid_loss_fn, "is_ensemble", False) else 1)
         self._eval_step = jax.jit(make_eval_step(
             model, valid_loss_fn, schema, self.forecast_len, self.history_len,
-            normalizer=normalizer))
+            normalizer=normalizer, ensemble_size=eval_ens))
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:
         sample = self.dataset.batch([self.dataset.history_len], 1)
         x = jnp.asarray(sample["x"][:1])
-        variables = self.model.init(rng, x)
+        r1, r2 = jax.random.split(rng)
+        variables = self.model.init({"params": r1, "noise": r2}, x)
         params = variables["params"]
         spectral = variables.get("spectral", {})
         opt_state = self.optimizer.init(params)
