@@ -263,6 +263,17 @@ def cmd_benchmark(args):
     return 0
 
 
+def cmd_rollout_metrics(args):
+    """Ensemble rollout verification (reference: rollout_metrics apps)."""
+    from credit_tpu.applications.rollout_metrics import run_rollout_metrics
+
+    rows = run_rollout_metrics(_load(args), n_steps=args.steps,
+                               n_members=args.members,
+                               perturbation=args.perturbation)
+    print(json.dumps(rows, indent=1))
+    return 0
+
+
 def cmd_summary(args):
     """Model parameter summary (reference: applications/model_summary.py)."""
     import jax
@@ -391,6 +402,15 @@ def build_parser():
     sp.add_argument("--zone", default=None)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser("rollout-metrics",
+                        help="noisy-IC ensemble rollout + verification metrics")
+    sp.add_argument("config")
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--members", type=int, default=None)
+    sp.add_argument("--perturbation", choices=["gaussian", "spherical", "bred"],
+                    default=None)
+    sp.set_defaults(fn=cmd_rollout_metrics)
 
     sp = sub.add_parser("summary", help="model parameter summary")
     sp.add_argument("config")

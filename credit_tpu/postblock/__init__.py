@@ -91,6 +91,49 @@ class Renorm(BasePostblock):
         return self.norm.normalize_target(y_pred)
 
 
+@registry.register("postblock", "exp")
+class ExpTransform(BasePostblock):
+    """expm1 on selected target variables — inverse of the log_transform
+    preblock (reference: postblock exp/square transforms)."""
+
+    def __init__(self, schema: ChannelSchema, variables, **_):
+        self.views = [_VarView(schema, v) for v in variables]
+
+    def __call__(self, y_pred, x):
+        for view in self.views:
+            y_pred = view.set(y_pred, jnp.expm1(view.get(y_pred)))
+        return y_pred
+
+
+@registry.register("postblock", "square")
+class SquareTransform(BasePostblock):
+    """Square selected target variables — inverse of sqrt_transform."""
+
+    def __init__(self, schema: ChannelSchema, variables, **_):
+        self.views = [_VarView(schema, v) for v in variables]
+
+    def __call__(self, y_pred, x):
+        for view in self.views:
+            y_pred = view.set(y_pred, view.get(y_pred) ** 2)
+        return y_pred
+
+
+@registry.register("postblock", "wet_mask_samudra")
+class WetMaskSamudra(BasePostblock):
+    """Zero ocean-model predictions over land (reference: postblock
+    wet_mask_samudra for the OM4/Samudra ocean emulator): multiply every
+    target channel by the wet mask (1 = ocean)."""
+
+    def __init__(self, schema: ChannelSchema, wet_mask, **_):
+        self.mask = jnp.asarray(wet_mask, jnp.float32)  # (lat, lon) or (lat, lon, L)
+
+    def __call__(self, y_pred, x):
+        m = self.mask
+        if m.ndim == 2:
+            m = m[..., None]
+        return y_pred * m
+
+
 @registry.register("postblock", "tracer_fixer")
 class TracerFixer(BasePostblock):
     """Clamp tracers to [lo, hi] (reference: conservation.py:84 TracerFixer)."""
