@@ -248,6 +248,31 @@ class Trainer:
         bp = t.get("backprop_on_timestep")
         self.backprop_on = [b - 1 for b in bp] if bp else None  # config is 1-based
 
+        # mesh from trainer.parallelism (reference: distributed_model_wrapper
+        # _gen2 ordering — here it's just sharding placement on one jit)
+        from credit_tpu.parallel.mesh import build_mesh, parse_parallelism_conf
+
+        import jax as _jax
+
+        self.mesh = None
+        dp = 1
+        if (conf.get("trainer", {}) or {}).get("parallelism"):
+            try:
+                dp, tp, dom = parse_parallelism_conf(conf)
+            except ValueError:
+                dp = tp = dom = 1
+            bsz = int(t.get("train_batch_size", 1))
+            if dp > 1 and bsz % dp != 0:
+                logger.warning(
+                    "train_batch_size=%d not divisible by inferred dp=%d; "
+                    "falling back to dp=1 (set trainer.parallelism.data "
+                    "explicitly to shard)", bsz, dp)
+                dp = 1
+            if dp * tp * dom > 1:
+                self.mesh = build_mesh(dp, tp, dom)
+                logger.info("mesh: dp=%d tensor=%d domain=%d", dp, tp, dom)
+        self.dp = dp
+
         from credit_tpu.trainers.scheduler import load_scheduler
 
         self.schedule = load_scheduler(conf)
@@ -279,8 +304,35 @@ class Trainer:
         ema = jax.tree_util.tree_map(jnp.copy, params) if self.use_ema else None
         n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
         logger.info("model parameters: %.2fM", n / 1e6)
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                          spectral=spectral, opt_state=opt_state, ema_params=ema)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           spectral=spectral, opt_state=opt_state, ema_params=ema)
+        if self.mesh is not None:
+            state = self._shard_state(state)
+        return state
+
+    def _shard_state(self, state: TrainState) -> TrainState:
+        from credit_tpu.parallel.sharding import replicated, tree_param_shardings
+
+        pshard = tree_param_shardings(state.params, self.mesh)
+        rep = replicated(self.mesh)
+        rep_tree = lambda t: jax.device_put(  # noqa: E731
+            t, jax.tree_util.tree_map(lambda _: rep, t,
+                                      is_leaf=lambda l: hasattr(l, "shape")))
+        return state.replace(
+            params=jax.device_put(state.params, pshard),
+            spectral=rep_tree(state.spectral),
+            opt_state=rep_tree(state.opt_state),
+            step=jax.device_put(state.step, rep),
+            ema_params=None if state.ema_params is None
+            else jax.device_put(state.ema_params, pshard))
+
+    def _shard_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from credit_tpu.parallel.sharding import batch_sharding
+
+        bs = batch_sharding(self.mesh, 5, domain=self.mesh.shape["domain"] > 1)
+        return {k: jax.device_put(v, bs) for k, v in batch.items()}
 
     # ------------------------------------------------------------------
     def fit(self, state: Optional[TrainState] = None, seed: int = 0) -> TrainState:
@@ -326,15 +378,17 @@ class Trainer:
             t0 = time.time()
             train_losses = []
             for tidx in sampler:
-                batch = {k: jnp.asarray(v) for k, v in
-                         self.dataset.batch(tidx, self.forecast_len).items() if v is not None}
+                batch = self._shard_batch(
+                    {k: jnp.asarray(v) for k, v in
+                     self.dataset.batch(tidx, self.forecast_len).items() if v is not None})
                 rng, sub = jax.random.split(rng)
                 state, metrics = self._train_step(state, batch, sub)
                 train_losses.append(float(metrics["loss"]))
             valid_losses = []
             for tidx in vsampler:
-                batch = {k: jnp.asarray(v) for k, v in
-                         self.valid_dataset.batch(tidx, self.forecast_len).items() if v is not None}
+                batch = self._shard_batch(
+                    {k: jnp.asarray(v) for k, v in
+                     self.valid_dataset.batch(tidx, self.forecast_len).items() if v is not None})
                 valid_losses.append(float(self._eval_step(state, batch)["loss"]))
             tr = float(np.mean(train_losses)) if train_losses else np.nan
             va = float(np.mean(valid_losses)) if valid_losses else tr
