@@ -335,6 +335,63 @@ class GlobalEnergyFixer(_FixerBase):
         return self.Tt.set(y_pred, T_new)
 
 
+@registry.register("postblock", "hybrid_level_interp")
+class HybridLevelInterp(BasePostblock):
+    """Re-level 3-D variables from one hybrid coordinate to another
+    (reference: postblock hybrid_level_interp wrapping credit/interp.py
+    interp_hybrid_to_hybrid_levels:546)."""
+
+    def __init__(self, schema: ChannelSchema, variables, a_in, b_in,
+                 a_out, b_out, sp_var="SP", use_log: bool = True, **_):
+        self.views = [_VarView(schema, v) for v in variables]
+        self.sp = _VarView(schema, sp_var)
+        self.a_in = jnp.asarray(a_in, jnp.float32)
+        self.b_in = jnp.asarray(b_in, jnp.float32)
+        self.a_out = jnp.asarray(a_out, jnp.float32)
+        self.b_out = jnp.asarray(b_out, jnp.float32)
+        self.use_log = use_log
+
+    def __call__(self, y_pred, x):
+        from credit_tpu.physics.interp import interp_hybrid_to_hybrid
+
+        sp = self.sp.get(y_pred)
+        p_in = self.a_in + self.b_in * sp[..., None]
+        p_out = self.a_out + self.b_out * sp[..., None]
+        for view in self.views:
+            v = interp_hybrid_to_hybrid(view.get(y_pred), p_in, p_out,
+                                        self.use_log)
+            y_pred = view.set(y_pred, v)
+        return y_pred
+
+
+@registry.register("postblock", "pressure_interp_diagnostic")
+class PressureInterpDiagnostic(BasePostblock):
+    """Interpolate a model-level variable to fixed pressure levels and write
+    it into a same-width target channel block (reference: postblock
+    pressure_interp_diagnostic)."""
+
+    def __init__(self, schema: ChannelSchema, input_var, output_var,
+                 pressure_levels, a_half, b_half, sp_var="SP",
+                 use_log: bool = True, **_):
+        self.src = _VarView(schema, input_var)
+        self.dst = _VarView(schema, output_var)
+        self.sp = _VarView(schema, sp_var)
+        self.plevs = jnp.asarray(pressure_levels, jnp.float32)
+        self.a_half = jnp.asarray(a_half, jnp.float32)
+        self.b_half = jnp.asarray(b_half, jnp.float32)
+        self.use_log = use_log
+
+    def __call__(self, y_pred, x):
+        from credit_tpu.physics.interp import (
+            create_pressure_grid, interp_hybrid_to_pressure)
+
+        sp = self.sp.get(y_pred)
+        _, p_full = create_pressure_grid(sp, self.a_half, self.b_half)
+        out = interp_hybrid_to_pressure(self.src.get(y_pred), p_full,
+                                        self.plevs, self.use_log)
+        return self.dst.set(y_pred, out)
+
+
 @registry.register("postblock", "mslp_diagnostic")
 class MSLPDiagnostic(BasePostblock):
     """Mean-sea-level-pressure diagnostic (Trenberth 1993) written into a

@@ -133,6 +133,18 @@ class RolloutEngine:
         return outs
 
 
+def rk4_step(apply_fn, x: jnp.ndarray) -> jnp.ndarray:
+    """Runge-Kutta-4 composition of the single-step model (reference:
+    crossformer.py:738 rk4 — treats the model output as a state estimate and
+    averages four staged evaluations). apply_fn: x -> y_pred with matching
+    prognostic channel count."""
+    k1 = apply_fn(x)
+    k2 = apply_fn(x + 0.5 * (k1 - x))
+    k3 = apply_fn(x + 0.5 * (k2 - x))
+    k4 = apply_fn(x + (k3 - x))
+    return (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+
+
 def make_scan_rollout(model, schema: ChannelSchema, n_steps: int,
                       history_len: int = 1, with_forcing: bool = False):
     """Fully on-device N-step rollout as one lax.scan — a single dispatch,

@@ -68,3 +68,43 @@ def test_wind_filter_smooths_jet(schema, rng):
     assert abs(after.mean() - before.mean()) < 5.0
     # far from the jet nothing changes
     np.testing.assert_allclose(out[0, 0, :4], y[0, 0, :4], atol=1e-6)
+
+
+def test_hybrid_level_interp_postblock(schema):
+    from credit_tpu.postblock import HybridLevelInterp
+
+    H, W = 6, 8
+    y = np.zeros((1, 1, H, W, schema.n_target), np.float32)
+    sp_i = schema.target_names.index("SP")
+    y[..., sp_i] = 1.0e5
+    # U linear in log-p: exact under log interp
+    a_in = [5.0e4, 0.0]
+    b_in = [0.0, 1.0]
+    for lev, (a, b) in enumerate(zip(a_in, b_in)):
+        p = a + b * 1.0e5
+        ui = schema.target_names.index(f"U_L{lev}")
+        y[..., ui] = 3.0 * np.log(p)
+    blk = HybridLevelInterp(schema, variables=["U"], a_in=a_in, b_in=b_in,
+                            a_out=[7.0e4, 1.0e4], b_out=[0.0, 0.8])
+    out = np.asarray(blk(jnp.asarray(y), jnp.zeros((1, 1, H, W, schema.n_input))))
+    for lev, p in enumerate([7.0e4, 1.0e4 + 0.8e5]):
+        ui = schema.target_names.index(f"U_L{lev}")
+        np.testing.assert_allclose(out[..., ui], 3.0 * np.log(p), rtol=1e-5)
+
+
+def test_rk4_step_fixed_point():
+    from credit_tpu.rollout import rk4_step
+
+    # for the identity model, rk4 returns x exactly
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(rk4_step(lambda z: z, x)),
+                               np.asarray(x), rtol=1e-6)
+    # linear model y = c x: staged closed form
+    c = 1.1
+    out = np.asarray(rk4_step(lambda z: c * z, x))[0, 0]
+    k1 = c
+    k2 = c * (1 + (k1 - 1) / 2)
+    k3 = c * (1 + (k2 - 1) / 2)
+    k4 = c * k3
+    want = float(x[0, 0]) * (k1 + 2 * k2 + 2 * k3 + k4) / 6
+    np.testing.assert_allclose(out, want, rtol=1e-5)
