@@ -187,3 +187,24 @@ def test_checkpoint_restores_optimizer_state(setup):
     assert len(a) == len(b) and len(a) > 0
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
     assert float(np.abs(np.asarray(b[0])).max()) > 0
+
+
+def test_backprop_on_timestep_subset(setup):
+    """Loss/grad only on selected rollout steps (reference
+    trainer_gen2 backprop_on_timestep; config is 1-based)."""
+    conf, schema, grid, dataset, model, trainer = setup
+    import copy
+
+    conf2 = copy.deepcopy(conf)
+    conf2["trainer"]["backprop_on_timestep"] = [2]  # only the 2nd step
+    t2 = Trainer(conf2, model, trainer.loss_fn, trainer.valid_loss_fn, schema,
+                 dataset, save_loc=conf2["save_loc"])
+    assert t2.backprop_on == [1]
+    state = t2.init_state(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in
+             dataset.batch([2, 3], t2.forecast_len).items() if v is not None}
+    state2, metrics = t2._train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
