@@ -201,7 +201,8 @@ def cmd_metrics(args):
 
 
 def cmd_plot(args):
-    """Truth-vs-pred map plot (reference: credit plot, cli/_plot.py)."""
+    """Truth-vs-pred map plot, or an animation across forecast files
+    (reference: credit plot cli/_plot.py + credit/animation.py)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -210,16 +211,43 @@ def cmd_plot(args):
 
     from credit_tpu.utils.ncio import open_dataset
 
-    ds = open_dataset(args.file)
-    var = args.var or next(iter(ds.keys()))
-    arr = np.asarray(ds[var].values)
-    while arr.ndim > 2:
-        arr = arr[0]
+    def field(path, var=None):
+        ds = open_dataset(path)
+        var = var or next(iter(ds.keys()))
+        arr = np.asarray(ds[var].values)
+        while arr.ndim > 2:
+            arr = arr[0]
+        return var, arr
+
+    files = sorted(args.files)
+    if len(files) > 1 or args.animate:
+        from matplotlib import animation as manim
+
+        var, first = field(files[0], args.var)
+        frames = [field(f, var)[1] for f in files]
+        vmax = max(np.abs(f).max() for f in frames)
+        fig, ax = plt.subplots(figsize=(8, 4))
+        im = ax.imshow(frames[0], aspect="auto", cmap="RdBu_r",
+                       vmin=-vmax, vmax=vmax)
+        fig.colorbar(im, ax=ax)
+        title = ax.set_title("")
+
+        def update(i):
+            im.set_data(frames[i])
+            title.set_text(f"{var} — {os.path.basename(files[i])}")
+            return [im, title]
+
+        ani = manim.FuncAnimation(fig, update, frames=len(frames))
+        out = args.out or (os.path.splitext(files[0])[0] + f"_{var}.gif")
+        ani.save(out, writer=manim.PillowWriter(fps=args.fps))
+        print(out)
+        return 0
+    var, arr = field(files[0], args.var)
     fig, ax = plt.subplots(figsize=(8, 4))
     im = ax.imshow(arr, aspect="auto", cmap="RdBu_r")
     fig.colorbar(im, ax=ax)
-    ax.set_title(f"{var} — {os.path.basename(args.file)}")
-    out = args.out or (os.path.splitext(args.file)[0] + f"_{var}.png")
+    ax.set_title(f"{var} — {os.path.basename(files[0])}")
+    out = args.out or (os.path.splitext(files[0])[0] + f"_{var}.png")
     fig.savefig(out, dpi=120, bbox_inches="tight")
     print(out)
     return 0
@@ -388,10 +416,12 @@ def build_parser():
     sp.add_argument("files", nargs="+")
     sp.set_defaults(fn=cmd_metrics)
 
-    sp = sub.add_parser("plot", help="plot a forecast field")
-    sp.add_argument("file")
+    sp = sub.add_parser("plot", help="plot a forecast field (or animate many)")
+    sp.add_argument("files", nargs="+")
     sp.add_argument("--var", default=None)
     sp.add_argument("--out", default=None)
+    sp.add_argument("--animate", action="store_true")
+    sp.add_argument("--fps", type=int, default=4)
     sp.set_defaults(fn=cmd_plot)
 
     sp = sub.add_parser("submit", help="generate TPU pod launch script")

@@ -27,7 +27,12 @@ def window_partition(x: jnp.ndarray, wsz: int, kind: str) -> jnp.ndarray:
     window element (i, j) sits at pixel (i * H//w + h, j * W//w + w_).
     """
     b, h, w, c = x.shape
-    assert h % wsz == 0 and w % wsz == 0, (h, w, wsz)
+    if h % wsz or w % wsz:
+        raise ValueError(
+            f"window size {wsz} must divide the padded feature map ({h}x{w}) "
+            f"at every stage — adjust model.local/global_window_size or "
+            f"padding_conf so each stage's H and W are multiples "
+            f"(see config/smoke_1deg.yml for a worked example)")
     nh, nw = h // wsz, w // wsz
     if kind == "short":
         x = x.reshape(b, nh, wsz, nw, wsz, c)

@@ -46,7 +46,10 @@ def ring_crps(member: jnp.ndarray, target: jnp.ndarray,
         return buf, acc
 
     # acc starts device-varying over the ring axis (shard_map vma typing)
-    acc0 = lax.pvary(jnp.zeros((), member.dtype), (axis_name,))
+    if hasattr(lax, "pcast"):
+        acc0 = lax.pcast(jnp.zeros((), member.dtype), axis_name, to="varying")
+    else:  # older jax
+        acc0 = lax.pvary(jnp.zeros((), member.dtype), (axis_name,))
     _, pair_sum = lax.fori_loop(0, m - 1, body, (member, acc0))
     spread_i = pair_sum / jnp.maximum(m - 1, 1)
     crps_i = skill - 0.5 * spread_i

@@ -16,6 +16,11 @@ import numpy as np
 
 try:  # pragma: no cover - environment dependent
     import xarray as _xr
+
+    # ignore inert stand-ins (e.g. tests/reference_oracle.py stubs optional
+    # deps of the reference implementation with __file__ = "<stub ...>")
+    if str(getattr(_xr, "__file__", "")).startswith("<stub"):
+        _xr = None
 except ImportError:
     _xr = None
 
