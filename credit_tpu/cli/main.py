@@ -108,7 +108,17 @@ def cmd_init(args):
 def cmd_train(args):
     from credit_tpu.applications import run_training
 
-    run_training(_load(args), seed=args.seed)
+    conf = _load(args)
+    if args.profile:
+        import jax
+
+        trace_dir = os.path.join(conf.get("save_loc", "."), "profile")
+        with jax.profiler.trace(trace_dir):
+            run_training(conf, seed=args.seed)
+        print(f"profiler trace written to {trace_dir} "
+              f"(view with TensorBoard or xprof)")
+        return 0
+    run_training(conf, seed=args.seed)
     return 0
 
 
@@ -258,7 +268,16 @@ def cmd_submit(args):
     cli/_submit.py + pbs.py/slurm.py — adapted for TPU pods)."""
     conf = _load(args)
     name = conf.get("save_loc", "credit-tpu-job").strip("./").replace("/", "-") or "credit-tpu"
-    if args.scheduler == "gcloud":
+    if args.scheduler == "pbs":
+        script = f"""#!/bin/bash
+#PBS -N {name}
+#PBS -l select={args.nodes}:ncpus=64
+#PBS -l walltime=12:00:00
+#PBS -j oe
+cd $PBS_O_WORKDIR
+python -m credit_tpu.cli train {args.config}
+"""
+    elif args.scheduler == "gcloud":
         script = f"""#!/bin/bash
 # Launch on every worker of a TPU pod slice (GSPMD single-program):
 gcloud compute tpus tpu-vm ssh {args.tpu_name or 'TPU_NAME'} \\
@@ -392,6 +411,8 @@ def build_parser():
     sp = sub.add_parser("train", help="train a model")
     sp.add_argument("config")
     sp.add_argument("--seed", type=int, default=None)
+    sp.add_argument("--profile", action="store_true",
+                    help="capture a jax profiler trace of the run")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("rollout", help="autoregressive forecast to netCDF")
@@ -426,7 +447,7 @@ def build_parser():
 
     sp = sub.add_parser("submit", help="generate TPU pod launch script")
     sp.add_argument("config")
-    sp.add_argument("--scheduler", choices=["gcloud", "slurm"], default="gcloud")
+    sp.add_argument("--scheduler", choices=["gcloud", "slurm", "pbs"], default="gcloud")
     sp.add_argument("--nodes", type=int, default=1)
     sp.add_argument("--tpu-name", default=None)
     sp.add_argument("--zone", default=None)
