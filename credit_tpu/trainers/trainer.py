@@ -259,8 +259,11 @@ class Trainer:
         if (conf.get("trainer", {}) or {}).get("parallelism"):
             try:
                 dp, tp, dom = parse_parallelism_conf(conf)
-            except ValueError:
-                dp = tp = dom = 1
+            except ValueError as e:
+                raise ValueError(
+                    f"trainer.parallelism does not fit the visible devices: "
+                    f"{e}. Set data: none to infer dp, or fix the factors."
+                ) from e
             bsz = int(t.get("train_batch_size", 1))
             if dp > 1 and bsz % dp != 0:
                 logger.warning(
