@@ -1,0 +1,85 @@
+"""CLI tests (reference: tests/test_cli.py, test_pbs_scripts.py — assert
+generated script text and command wiring without heavy runs)."""
+
+import os
+
+import pytest
+import yaml
+
+from credit_tpu.cli.main import build_parser, main
+
+
+def _write_tiny_conf(tmp_path):
+    conf = {
+        "save_loc": str(tmp_path / "exp"),
+        "data": {"source": {"E": {"levels": [0.0], "variables": {
+            "prognostic": {"vars_2D": ["T", "SP"]}}}},
+            "history_len": 1, "forecast_len": 1, "n_times": 12},
+        "trainer": {"learning_rate": 1e-3, "train_batch_size": 2,
+                    "batches_per_epoch": 2, "num_epoch": 1, "preflight": False},
+        "model": {"type": "debugger", "image_height": 8, "image_width": 16,
+                  "levels": 1, "channels": 0, "surface_channels": 2,
+                  "input_only_channels": 0, "output_only_channels": 0},
+        "loss": {"training_loss": "mse"},
+        "predict": {"forecast_steps": 2},
+    }
+    p = tmp_path / "conf.yml"
+    yaml.safe_dump(conf, open(p, "w"))
+    return str(p)
+
+
+def test_parser_has_all_subcommands():
+    p = build_parser()
+    subs = next(a for a in p._actions if a.dest == "cmd").choices
+    for cmd in ["init", "train", "rollout", "rollout-metrics", "preprocess",
+                "convert", "convert-checkpoint", "metrics", "plot", "submit",
+                "benchmark", "summary", "serve"]:
+        assert cmd in subs, cmd
+
+
+def test_init_writes_template(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert main(["init", "t.yml"]) == 0
+    conf = yaml.safe_load(open("t.yml"))
+    assert conf["model"]["type"] == "crossformer"
+    # refuses overwrite without --force
+    assert main(["init", "t.yml"]) == 1
+    assert main(["init", "t.yml", "--force"]) == 0
+
+
+def test_submit_generates_scripts(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    conf = _write_tiny_conf(tmp_path)
+    for sched, needle in (("slurm", "#SBATCH"), ("pbs", "#PBS"),
+                          ("gcloud", "--worker=all")):
+        assert main(["submit", conf, "--scheduler", sched,
+                     "--out", f"l_{sched}.sh"]) == 0
+        text = open(f"l_{sched}.sh").read()
+        assert needle in text, (sched, text)
+        assert os.access(f"l_{sched}.sh", os.X_OK)
+
+
+def test_convert_legacy_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    legacy = {"data": {"variables": ["U"], "surface_variables": ["SP"],
+                       "levels": [0, 1]},
+              "model": {"type": "crossformer", "levels": 2}}
+    yaml.safe_dump(legacy, open("old.yml", "w"))
+    assert main(["convert", "old.yml", "--out", "new.yml"]) == 0
+    conv = yaml.safe_load(open("new.yml"))
+    assert "source" in conv["data"]
+
+
+def test_train_rollout_metrics_summary_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    conf = _write_tiny_conf(tmp_path)
+    assert main(["summary", conf]) == 0
+    assert main(["train", conf]) == 0
+    assert os.path.exists(tmp_path / "exp" / "training_log.csv")
+    assert main(["rollout", conf, "--steps", "2"]) == 0
+    fdir = tmp_path / "exp" / "forecasts" / "init0001"
+    files = sorted(os.listdir(fdir))
+    assert len(files) == 2
+    assert main(["metrics", conf, *(str(fdir / f) for f in files)]) == 0
+    assert main(["preprocess", conf, "--samples", "4"]) == 0
+    assert os.path.exists(tmp_path / "exp" / "normalization.npz")
