@@ -367,7 +367,8 @@ def cmd_convert_checkpoint(args):
     import orbax.checkpoint as ocp
 
     from credit_tpu.applications.experiment import build_experiment
-    from credit_tpu.convert_torch import convert_crossformer, load_torch_checkpoint
+    from credit_tpu.convert_torch import (
+        convert_crossformer, convert_fuxi, load_torch_checkpoint)
 
     conf = _load(args)
     exp = build_experiment(conf)
@@ -377,7 +378,9 @@ def cmd_convert_checkpoint(args):
                    schema.n_input), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     sd = load_torch_checkpoint(args.torch_checkpoint)
-    variables = convert_crossformer(sd, variables, strict=not args.lenient)
+    convert = (convert_fuxi if conf["model"]["type"] == "fuxi"
+               else convert_crossformer)
+    variables = convert(sd, variables, strict=not args.lenient)
     out = os.path.abspath(args.out or os.path.join(
         conf.get("save_loc", "."), "checkpoint"))
     ckptr = ocp.StandardCheckpointer()

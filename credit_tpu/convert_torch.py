@@ -194,3 +194,135 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         if isinstance(payload, dict) and key in payload:
             payload = payload[key]
     return {k.replace("module.", ""): _np(v) for k, v in payload.items()}
+
+
+# ---------------------------------------------------------------------------
+# FuXi (reference credit/models/fuxi.py + timm SwinTransformerV2Stage core)
+
+
+def _fold_sn(sd: Dict[str, np.ndarray], prefix: str) -> np.ndarray:
+    """Return the effective eval-mode weight for a spectrally-normalized
+    torch layer: weight_orig / sigma with sigma = u . (W v) (torch old-API
+    eval semantics). Falls back to plain `weight`."""
+    if f"{prefix}.weight_orig" in sd:
+        w = sd[f"{prefix}.weight_orig"]
+        u = sd[f"{prefix}.weight_u"]
+        v = sd[f"{prefix}.weight_v"]
+        if w.ndim == 4 and w.shape[0] != u.shape[0]:  # ConvTranspose: dim=1
+            w2d = np.moveaxis(w, 1, 0).reshape(w.shape[1], -1)
+        else:
+            w2d = w.reshape(w.shape[0], -1)
+        sigma = float(u @ (w2d @ v))
+        return w / sigma
+    return sd[f"{prefix}.weight"]
+
+
+def convert_fuxi(state_dict: Dict[str, Any], variables: Dict[str, Any],
+                 strict: bool = True) -> Dict[str, Any]:
+    """Reference Fuxi state_dict -> credit_tpu Fuxi variables.
+
+    Conv/ConvTranspose layers with native spectral norm convert weight_orig
+    + u/v onto kernel + the 'spectral' collection; the timm SwinV2 core and
+    the fc head (plain Dense here) use eval-exact sigma folding.
+    """
+    import jax
+
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    spectral = jax.tree_util.tree_map(np.asarray, variables.get("spectral", {}))
+    used = set()
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        tgt = node[path[-1]]
+        assert tuple(value.shape) == tuple(tgt.shape), (path, value.shape, tgt.shape)
+        node[path[-1]] = value.astype(tgt.dtype)
+
+    def sn_layer(my_path, ref_prefix, kind):
+        """kind: conv | convT; keeps native SN (u/v) when present."""
+        w_key = f"{ref_prefix}.weight_orig" if f"{ref_prefix}.weight_orig" in sd \
+            else f"{ref_prefix}.weight"
+        w = sd[w_key]
+        used.add(w_key)
+        if kind == "conv":
+            put(params, my_path + ["kernel"], w.transpose(2, 3, 1, 0))
+        else:  # convT (I, O, kh, kw) -> (kh, kw, I, O)
+            put(params, my_path + ["kernel"], w.transpose(2, 3, 0, 1))
+        if f"{ref_prefix}.bias" in sd:
+            put(params, my_path + ["bias"], sd[f"{ref_prefix}.bias"])
+            used.add(f"{ref_prefix}.bias")
+        if f"{ref_prefix}.weight_u" in sd:
+            node = spectral
+            for k in my_path:
+                node = node[k]
+            node["u"] = sd[f"{ref_prefix}.weight_u"].astype(np.float32)
+            node["v"] = _convert_v(sd[f"{ref_prefix}.weight_v"], w).astype(np.float32)
+            used.update((f"{ref_prefix}.weight_u", f"{ref_prefix}.weight_v"))
+
+    def dense_folded(my_path, ref_prefix, bias: bool = True):
+        w = _fold_sn(sd, ref_prefix)
+        for cand in (f"{ref_prefix}.weight_orig", f"{ref_prefix}.weight",
+                     f"{ref_prefix}.weight_u", f"{ref_prefix}.weight_v"):
+            if cand in sd:
+                used.add(cand)
+        put(params, my_path + ["kernel"], w.T)
+        if bias and f"{ref_prefix}.bias" in sd:
+            put(params, my_path + ["bias"], sd[f"{ref_prefix}.bias"])
+            used.add(f"{ref_prefix}.bias")
+
+    def norm(my_path, ref_prefix, names=("scale", "bias")):
+        put(params, my_path + [names[0]], sd[f"{ref_prefix}.weight"])
+        put(params, my_path + [names[1]], sd[f"{ref_prefix}.bias"])
+        used.update((f"{ref_prefix}.weight", f"{ref_prefix}.bias"))
+
+    # cube embedding: Conv3d (O, I, kd, kh, kw) -> (kd, kh, kw, I, O)
+    put(params, ["cube_embedding", "kernel"],
+        sd["cube_embedding.proj.weight"].transpose(2, 3, 4, 1, 0))
+    put(params, ["cube_embedding", "bias"], sd["cube_embedding.proj.bias"])
+    used.update(("cube_embedding.proj.weight", "cube_embedding.proj.bias"))
+    norm(["cube_embedding", "norm"], "cube_embedding.norm")
+
+    # u_transformer down/up conv blocks
+    for blk, kind in (("down", "conv"), ("up", "convT")):
+        base = f"u_transformer.{blk}"
+        my = ["u_transformer", blk]
+        sn_layer(my + [blk], f"{base}.conv", kind)
+        for r in range(2):
+            sn_layer(my + [f"res_conv{r}"], f"{base}.b.{3 * r}", "conv")
+            norm(my + [f"res_gn{r}"], f"{base}.b.{3 * r + 1}")
+
+    # swin stage blocks (timm SwinTransformerV2Stage naming)
+    i = 0
+    while f"u_transformer.layer.blocks.{i}.norm1.weight" in sd:
+        ref = f"u_transformer.layer.blocks.{i}"
+        my = ["u_transformer", "swin", f"block{i}"]
+        dense_folded(my + ["attn", "qkv"], f"{ref}.attn.qkv", bias=False)
+        for b in ("q_bias", "v_bias"):
+            put(params, my + ["attn", b], sd[f"{ref}.attn.{b}"])
+            used.add(f"{ref}.attn.{b}")
+        put(params, my + ["attn", "logit_scale"], sd[f"{ref}.attn.logit_scale"])
+        used.add(f"{ref}.attn.logit_scale")
+        dense_folded(my + ["attn", "cpb_fc1"], f"{ref}.attn.cpb_mlp.0")
+        dense_folded(my + ["attn", "cpb_fc2"], f"{ref}.attn.cpb_mlp.2", bias=False)
+        dense_folded(my + ["attn", "proj"], f"{ref}.attn.proj")
+        norm(my + ["norm1"], f"{ref}.norm1")
+        norm(my + ["norm2"], f"{ref}.norm2")
+        dense_folded(my + ["mlp_fc1"], f"{ref}.mlp.fc1")
+        dense_folded(my + ["mlp_fc2"], f"{ref}.mlp.fc2")
+        i += 1
+
+    # fc head (plain Dense here; SN folded)
+    dense_folded(["fc"], "fc")
+
+    leftover = {k for k in sd if k not in used
+                and "relative_position" not in k and "attn_mask" not in k
+                and "relative_coords_table" not in k}
+    if strict and leftover:
+        raise KeyError(f"unconsumed fuxi keys: {sorted(leftover)[:10]} "
+                       f"(+{max(0, len(leftover) - 10)})")
+    out = dict(variables)
+    out["params"] = params
+    out["spectral"] = spectral
+    return out
