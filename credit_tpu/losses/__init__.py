@@ -228,13 +228,11 @@ class WeightedLoss:
         """target: (B, T, lat, lon, C); pred same, or (B, E, T, lat, lon, C)
         for ensemble CRPS losses. Returns scalar."""
         field = self.base(target, pred)  # (B, T, lat, lon, C)
-        w = jnp.ones((), jnp.float32)
         if self.lat_weights is not None:
             field = field * self.lat_weights[:, None, None]
         if self.var_weights is not None:
             field = field * self.var_weights
         loss = jnp.mean(field)
-        del w
         p2 = pred if pred.ndim == target.ndim else pred.mean(axis=1)
         if self.power_lambda:
             loss = loss + self.power_lambda * power_loss(

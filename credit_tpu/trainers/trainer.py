@@ -106,10 +106,8 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
         batch = prep_batch(batch)
         x = batch["x"]
         spectral = state.spectral
-        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        grads = zero_grads
+        grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         total_loss = 0.0
-        step_losses = []
 
         for s in range(forecast_len):
             y_t = batch["y"][:, s][:, None]  # (B, 1, H, W, C_t)
@@ -135,7 +133,6 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                     loss_of, has_aux=True)(state.params, spectral)
                 grads = jax.tree_util.tree_map(jnp.add, grads, g)
                 total_loss = total_loss + l
-                step_losses.append(l)
             else:
                 y_pred, mut = apply_model(state.params, spectral, x_in, sub)
                 spectral = mut["spectral"]
