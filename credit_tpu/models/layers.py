@@ -132,8 +132,9 @@ class SNDense(nn.Module, SNMixin):
         if self.use_sn:
             kernel = self._sn_kernel(kernel, update=train)
         x = x.astype(self.dtype)
+        acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
         y = jnp.einsum("...i,io->...o", x, kernel.astype(self.dtype),
-                       preferred_element_type=jnp.float32).astype(self.dtype)
+                       preferred_element_type=acc).astype(self.dtype)
         if self.use_bias:
             y = y + self.param("bias", self.bias_init, (self.features,)).astype(self.dtype)
         return y

@@ -25,9 +25,18 @@ def _pair(v) -> Tuple[int, int]:
     return int(v), int(v)
 
 
+def _accum(x, accum_dtype):
+    """MXU accumulation is fp32 in hardware; emitting the conv result in the
+    compute dtype (bf16) avoids a materialized fp32 buffer + separate
+    convert — the dominant HBM overhead of the bf16 path."""
+    if accum_dtype is not None:
+        return accum_dtype
+    return jnp.float32 if x.dtype == jnp.float32 else x.dtype
+
+
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
            padding: Union[int, Sequence[int], str] = 0,
-           accum_dtype=jnp.float32) -> jnp.ndarray:
+           accum_dtype=None) -> jnp.ndarray:
     """Conv with torch-style symmetric integer padding.
 
     x: (N, H, W, Cin); kernel: (kh, kw, Cin, Cout).
@@ -40,7 +49,7 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
         pad = ((ph, ph), (pw, pw))
     out = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=s, padding=pad,
-        dimension_numbers=_DN, preferred_element_type=accum_dtype,
+        dimension_numbers=_DN, preferred_element_type=_accum(x, accum_dtype),
     ).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -49,7 +58,7 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
 
 def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=2,
                      padding: Union[int, Sequence[int]] = 0,
-                     accum_dtype=jnp.float32) -> jnp.ndarray:
+                     accum_dtype=None) -> jnp.ndarray:
     """Transposed conv with exact torch ConvTranspose2d semantics.
 
     x: (N, H, W, Cin); kernel: (kh, kw, Cin, Cout) — note (in, out) order kept
@@ -67,7 +76,7 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=2,
         padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
         lhs_dilation=s,
         dimension_numbers=_DN,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=_accum(x, accum_dtype),
     ).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -75,7 +84,7 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=2,
 
 
 def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=(1, 1, 1),
-           padding=0, accum_dtype=jnp.float32) -> jnp.ndarray:
+           padding=0, accum_dtype=None) -> jnp.ndarray:
     """3-D conv, channels-last: x (N, D, H, W, Cin), kernel (kd, kh, kw, Cin, Cout).
 
     Used by CubeEmbedding (reference: crossformer.py:31 Conv3d patch embed)
@@ -88,7 +97,7 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=(1, 1, 1),
     out = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=tuple(stride), padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=accum_dtype,
+        preferred_element_type=_accum(x, accum_dtype),
     ).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -104,6 +104,7 @@ def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      preferred_element_type=softmax_dtype)
     sim = sim + bias.astype(sim.dtype)
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    acc = jnp.float32 if v.dtype == jnp.float32 else v.dtype
     out = jnp.einsum("bnhij,bnjhd->bnihd", attn, v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
+                     preferred_element_type=acc).astype(v.dtype)
     return out.reshape(b, nwin, t, inner)
