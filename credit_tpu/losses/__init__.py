@@ -241,3 +241,17 @@ class WeightedLoss:
             loss = loss + self.spectral_lambda * spectral_loss(
                 target, p2, self.lat_weights, self.wavenum_init)
         return loss
+
+
+@registry.register("loss", "ring-crps")
+def ring_crps_loss(target, pred, axis_name: Optional[str] = None):
+    """Ring CRPS (reference: credit/losses/crps.py RingCRPSLoss — one member
+    per dp device, K-1 ppermute shifts). Inside shard_map/pjit with
+    `axis_name` set, uses the O(1)-memory device ring
+    (credit_tpu.parallel.ring_crps.ring_crps); otherwise falls back to the
+    numerically identical dense fair estimator on the ensemble axis."""
+    if axis_name is not None:
+        from credit_tpu.parallel.ring_crps import ring_crps as _ring
+
+        return _ring(pred, target, axis_name)
+    return kcrps(target, pred, biased=False)
