@@ -23,6 +23,23 @@ import numpy as np
 N_STEPS = 40
 BASELINE_STEPS_PER_S = 40.0 / 45.0
 
+# flagship 0.25-deg variant: `python bench.py --025` (reference scale:
+# config/gen_2/examples/wxformer_era5_025deg_6hr.yml; measured 226.6 ms/step
+# round 1). The default 1-deg metric keeps the driver run fast and has a
+# published A100 baseline (serve.md 30-60 s / 40 steps).
+CONF_025 = {
+    "type": "crossformer", "frames": 1, "image_height": 721,
+    "image_width": 1440, "levels": 13, "channels": 4, "surface_channels": 4,
+    "input_only_channels": 4, "output_only_channels": 0,
+    "dim": [128, 256, 512, 1024], "depth": [2, 2, 8, 2],
+    "global_window_size": [10, 5, 2, 1], "local_window_size": 10,
+    "cross_embed_kernel_sizes": [[4, 8, 16, 32], [2, 4], [2, 4], [2, 4]],
+    "cross_embed_strides": [2, 2, 2, 2], "interp": True,
+    "use_spectral_norm": True,
+    "padding_conf": {"activate": True, "mode": "earth",
+                     "pad_lat": [39, 40], "pad_lon": [0, 0]},
+}
+
 
 def main():
     import jax
@@ -33,12 +50,17 @@ def main():
     from credit_tpu.models import load_model
     from credit_tpu.rollout import make_scan_rollout
 
+    flagship = "--025" in sys.argv
+    n_steps = 10 if flagship else N_STEPS
+    model_conf = {"model": CONF_025} if flagship else SMOKE_MODEL_CONF
+    levels = 13 if flagship else 18
+    h, w = (721, 1440) if flagship else (181, 360)
     conf = {
-        **SMOKE_MODEL_CONF,
+        **model_conf,
         "data": {
             "source": {
                 "ERA5": {
-                    "levels": list(range(18)),
+                    "levels": list(range(levels)),
                     "variables": {
                         "prognostic": {
                             "vars_3D": ["U", "V", "T", "Q"],
@@ -61,7 +83,7 @@ def main():
     print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
 
     rng = jax.random.PRNGKey(0)
-    x0 = jax.random.normal(rng, (1, 1, 181, 360, schema.n_input), jnp.float32) * 0.5
+    x0 = jax.random.normal(rng, (1, 1, h, w, schema.n_input), jnp.float32) * 0.5
     t0 = time.time()
     variables = jax.jit(model.init)(rng, x0)
     jax.block_until_ready(variables)
@@ -97,8 +119,8 @@ def main():
     overhead = time.time() - t0
     print(f"dispatch+fetch overhead: {overhead:.2f}s", file=sys.stderr)
 
-    r40 = build(N_STEPS)
-    r80 = build(2 * N_STEPS)
+    r40 = build(n_steps)
+    r80 = build(2 * n_steps)
     t0 = time.time()
     out = r40(variables, x0)
     print(f"40-step dispatch returned: {time.time() - t0:.1f}s", file=sys.stderr)
@@ -121,20 +143,29 @@ def main():
         print("WARNING: rollout produced non-finite output", file=sys.stderr)
     t40 = timed(r40)
     t80 = timed(r80)
-    per_step = (t80 - t40) / N_STEPS
+    per_step = (t80 - t40) / n_steps
     if per_step <= 0:
-        per_step = t40 / N_STEPS  # fallback; overhead-dominated
+        per_step = t40 / n_steps  # fallback; overhead-dominated
     steps_per_s = 1.0 / per_step
-    gridpoints_per_s = steps_per_s * 181 * 360
+    gridpoints_per_s = steps_per_s * h * w
     print(f"t40={t40:.3f}s t80={t80:.3f}s -> {per_step*1e3:.2f} ms/step, "
           f"{steps_per_s:.1f} steps/s, {gridpoints_per_s/1e6:.1f}M gridpoints/s",
           file=sys.stderr)
 
+    metric = ("wxformer_025deg_rollout" if flagship
+              else "wxformer_1deg_40step_rollout")
+    # vs_baseline only has a published reference number for the 1-deg serve
+    # case; for the 0.25-deg flagship report gridpoints/s/chip vs the 1-deg
+    # A100 baseline's gridpoint rate (conservative: A100 would be slower on
+    # the 40x-larger model).
+    base_gps = BASELINE_STEPS_PER_S * 181 * 360
+    vsb = (gridpoints_per_s / base_gps if flagship
+           else steps_per_s / BASELINE_STEPS_PER_S)
     print(json.dumps({
-        "metric": "wxformer_1deg_40step_rollout",
+        "metric": metric,
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
+        "vs_baseline": round(vsb, 3),
     }))
 
 
