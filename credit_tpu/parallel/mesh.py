@@ -59,11 +59,32 @@ def build_mesh(dp: int = 1, tp: int = 1, domain: int = 1,
 
 def data_parallel_coords(mesh: Mesh) -> Tuple[int, int]:
     """(dp_rank, dp_size) for the current process — which slice of the
-    dataset this host feeds. With a single-process mesh this is (0, dp)."""
+    dataset this host feeds (reference: credit/parallel/mesh.py:115
+    data_parallel_coords: dataset shards by the dp coordinate only; tp and
+    domain peers read identical batches).
+
+    Multi-host semantics: every dp row a process owns a device in counts as
+    "fed by this process"; with one process the set is all rows and the
+    caller should iterate the full dp range (rank 0 of size dp feeds
+    everything — the single-host case collapses to (0, dp) handled by the
+    trainer's in-step batch sharding). With multiple processes, each process
+    feeds the dp rows of its addressable devices — contiguous-by-construction
+    when the mesh grid lists devices in process order.
+    """
     dp = mesh.shape["dp"]
-    # multi-host: processes own contiguous blocks of the device grid; the dp
-    # coordinate of this process's first addressable device decides its shard.
-    local = mesh.local_devices[0] if mesh.local_devices.size else mesh.devices.flat[0]
-    idx = list(mesh.devices.flat).index(local)
+    local = list(mesh.local_devices)  # Mesh.local_devices is a plain list
+    if not local:
+        return 0, dp
+    flat = list(mesh.devices.flat)
     tp_dom = mesh.shape["tp"] * mesh.shape["domain"]
-    return idx // tp_dom, dp
+    rows = sorted({flat.index(d) // tp_dom for d in local if d in flat})
+    return (rows[0] if rows else 0), dp
+
+
+def local_dp_rows(mesh: Mesh) -> Tuple[int, ...]:
+    """All dp rows this process owns a device of (multi-host feed contract:
+    the process must supply batch shards for exactly these rows)."""
+    flat = list(mesh.devices.flat)
+    tp_dom = mesh.shape["tp"] * mesh.shape["domain"]
+    return tuple(sorted({flat.index(d) // tp_dom
+                         for d in mesh.local_devices if d in flat}))

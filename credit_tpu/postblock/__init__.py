@@ -248,7 +248,10 @@ class GlobalWaterFixer(_FixerBase):
         e_sum = self.core.weighted_sum(evapor_flux)
         p_sum = self.core.weighted_sum(precip_flux)
         residual = -twc_sum - e_sum - p_sum
-        ratio = (p_sum + residual) / p_sum
+        # dry-globe guard: zero global precip means nothing to rescale —
+        # ratio 1 instead of 0/0 (early-training batches can be all-dry)
+        safe = jnp.abs(p_sum) > 1e-12
+        ratio = jnp.where(safe, (p_sum + residual) / jnp.where(safe, p_sum, 1.0), 1.0)
         return self.pt.set(y_pred, precip * ratio[..., None, None])
 
 

@@ -72,19 +72,34 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                     forecast_len: int = 1,
                     backprop_on_timestep: Optional[Sequence[int]] = None,
                     history_len: int = 1, ema_decay: float = 0.0,
-                    ensemble_size: int = 1, normalizer=None, preblocks=()):
+                    ensemble_size: int = 1, normalizer=None, preblocks=(),
+                    preblocks_ic=(), postblocks=(), metrics_fn=None):
     """Build the jitted multi-step train step.
 
     batch: {'x': (B, T_hist, H, W, C_in), 'y': (B, S, H, W, C_t),
             'forcing': (B, S, H, W, n_dyn) optional} in PHYSICAL units when a
     normalizer is given (normalization runs on device inside the step,
     mirroring the reference's in-step preblocks).
+
+    Pipelines match the reference per-step semantics
+    (reference: credit/trainers/trainer_gen2.py:270-497):
+      preblocks_ic  — applied ONCE to the initial condition (phase ic_only)
+      preblocks     — applied to x every rollout step (phase per_step)
+      postblocks    — applied to y_pred every step INSIDE the loss, so
+                      conservation fixers shape the gradients exactly as the
+                      reference's forward-wrapper postblock does
+      metrics_fn    — LatWeightedMetrics; per-variable train metrics are
+                      accumulated on device and returned in the metrics dict
+                      (all-reduce happens implicitly under GSPMD sharding).
     """
     bp = set(backprop_on_timestep or range(forecast_len))
     n_bp = max(len(bp), 1)
+    from credit_tpu.postblock.stochastic import (apply_postblocks_stateful,
+                                                 init_postblock_states)
+    has_stateful = any(getattr(b, "is_stateful", False) for b in postblocks)
 
     def prep_batch(batch):
-        if normalizer is None and not preblocks:
+        if normalizer is None and not preblocks and not preblocks_ic:
             return batch
         out = dict(batch)
         if normalizer is not None:
@@ -92,7 +107,7 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
             out["y"] = normalizer.normalize_target(batch["y"])
             if batch.get("forcing") is not None:
                 out["forcing"] = normalizer.normalize_forcing(batch["forcing"], schema)
-        for pb in preblocks:
+        for pb in preblocks_ic:  # ic_only phase: once, on the initial state
             out["x"] = pb(out["x"])
         return out
 
@@ -101,6 +116,15 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
         return model.apply({"params": params, "spectral": spectral}, x,
                            train=True, mutable=["spectral"], rngs=rngs)
 
+    def post(y_pred, x, pb_states, key):
+        if not postblocks:
+            return y_pred, pb_states
+        if has_stateful:
+            return apply_postblocks_stateful(postblocks, y_pred, x, pb_states, key)
+        for b in postblocks:
+            y_pred = b(y_pred, x)
+        return y_pred, pb_states
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
         batch = prep_batch(batch)
@@ -108,29 +132,38 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
         spectral = state.spectral
         grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         total_loss = 0.0
+        pb_states = (init_postblock_states(postblocks, x.shape[0])
+                     if has_stateful else {})
+        var_metrics = {}
 
         for s in range(forecast_len):
             y_t = batch["y"][:, s][:, None]  # (B, 1, H, W, C_t)
             rng, sub = jax.random.split(rng)
+            rng, post_key = jax.random.split(rng)
 
+            for pb in preblocks:  # per_step phase
+                x = pb(x)
             if ensemble_size > 1:
                 x_in = jnp.repeat(x, ensemble_size, axis=0)
             else:
                 x_in = x
 
             if s in bp:
-                def loss_of(p, spec, x_in=x_in, y_t=y_t, sub=sub):
+                def loss_of(p, spec, pbs, x_in=x_in, y_t=y_t, sub=sub, x=x,
+                            post_key=post_key):
                     y_pred, mut = apply_model(p, spec, x_in, sub)
                     if ensemble_size > 1:
                         b = y_t.shape[0]
                         y_e = y_pred.reshape(b, ensemble_size, *y_pred.shape[1:])
-                        loss = loss_fn(y_t, y_e)
                         y_mean = y_e.mean(axis=1)
-                        return loss, (y_mean, mut["spectral"])
-                    return loss_fn(y_t, y_pred), (y_pred, mut["spectral"])
+                        y_mean, pbs = post(y_mean, x, pbs, post_key)
+                        loss = loss_fn(y_t, y_e)
+                        return loss, (y_mean, mut["spectral"], pbs)
+                    y_pred, pbs = post(y_pred, x, pbs, post_key)
+                    return loss_fn(y_t, y_pred), (y_pred, mut["spectral"], pbs)
 
-                (l, (y_pred, spectral)), g = jax.value_and_grad(
-                    loss_of, has_aux=True)(state.params, spectral)
+                (l, (y_pred, spectral, pb_states)), g = jax.value_and_grad(
+                    loss_of, has_aux=True)(state.params, spectral, pb_states)
                 grads = jax.tree_util.tree_map(jnp.add, grads, g)
                 total_loss = total_loss + l
             else:
@@ -139,6 +172,12 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                 if ensemble_size > 1:
                     b = x.shape[0]
                     y_pred = y_pred.reshape(b, ensemble_size, *y_pred.shape[1:]).mean(axis=1)
+                y_pred, pb_states = post(y_pred, x, pb_states, post_key)
+
+            if metrics_fn is not None:
+                step_m = metrics_fn(y_t, jax.lax.stop_gradient(y_pred))
+                for k, v in step_m.items():
+                    var_metrics[k] = var_metrics.get(k, 0.0) + v / forecast_len
 
             if s + 1 < forecast_len:
                 forcing = batch.get("forcing")
@@ -174,7 +213,7 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                                   spectral=spectral, opt_state=new_opt_state,
                                   ema_params=new_ema)
         metrics = {"loss": mean_loss, "grad_norm": gnorm,
-                   "finite": finite.astype(jnp.float32)}
+                   "finite": finite.astype(jnp.float32), **var_metrics}
         return new_state, metrics
 
     return train_step
@@ -263,11 +302,10 @@ class Trainer:
                 ) from e
             bsz = int(t.get("train_batch_size", 1))
             if dp > 1 and bsz % dp != 0:
-                logger.warning(
-                    "train_batch_size=%d not divisible by inferred dp=%d; "
-                    "falling back to dp=1 (set trainer.parallelism.data "
-                    "explicitly to shard)", bsz, dp)
-                dp = 1
+                # loud failure like the reference's sampler divisibility check
+                raise ValueError(
+                    f"train_batch_size={bsz} not divisible by dp={dp}; "
+                    f"change the batch size or trainer.parallelism.data")
             if dp * tp * dom > 1:
                 self.mesh = build_mesh(dp, tp, dom)
                 logger.info("mesh: dp=%d tensor=%d domain=%d", dp, tp, dom)
@@ -280,10 +318,32 @@ class Trainer:
         self.loss_fn = loss_fn
         self.valid_loss_fn = valid_loss_fn
         self.normalizer = normalizer
+
+        # in-step pipelines + per-variable metrics (reference:
+        # trainer_gen2.py:270-497 applies preblocks/postblocks/metrics inside
+        # train_one_epoch; here they compile into the jitted step)
+        from credit_tpu.preblock import build_preblocks
+
+        pre_ic = build_preblocks(conf, schema, normalizer, phase="ic_only")
+        pre_step = build_preblocks(conf, schema, normalizer, phase="per_step")
+        post = self._build_train_postblocks()
+        self.metrics_fn = None
+        if t.get("log_variable_metrics", True):
+            from credit_tpu.grid import grid_from_conf
+            from credit_tpu.metrics import LatWeightedMetrics
+
+            try:
+                grid = grid_from_conf(conf)
+                self.metrics_fn = LatWeightedMetrics(
+                    grid, var_names=list(schema.target_names))
+            except Exception:  # grid not derivable from conf (synthetic tests)
+                self.metrics_fn = None
         self._train_step = jax.jit(make_train_step(
             model, loss_fn, self.optimizer, schema, self.forecast_len,
             self.backprop_on, self.history_len, self.ema_decay if self.use_ema else 0.0,
-            self.ensemble_size, normalizer=normalizer))
+            self.ensemble_size, normalizer=normalizer,
+            preblocks=tuple(pre_step), preblocks_ic=tuple(pre_ic),
+            postblocks=tuple(post), metrics_fn=self.metrics_fn))
         # CRPS-family validation needs >= 2 members (reference:
         # losses/__init__.py CRPS_LOSSES gate on trainer.ensemble_size)
         eval_ens = (max(self.ensemble_size, 2)
@@ -291,6 +351,36 @@ class Trainer:
         self._eval_step = jax.jit(make_eval_step(
             model, valid_loss_fn, schema, self.forecast_len, self.history_len,
             normalizer=normalizer, ensemble_size=eval_ens))
+
+    # optuna pruning hook (reference: base_trainer.py trial.report/should_prune)
+    optuna_trial = None
+
+    def _optuna_report(self, valid_loss: float, epoch: int):
+        self.optuna_trial.report(valid_loss, step=epoch)
+        if self.optuna_trial.should_prune():
+            import optuna
+
+            raise optuna.TrialPruned()
+
+    def _build_train_postblocks(self):
+        """Per-step postblocks compiled into the train step (reference:
+        trainer_gen2.py applies the model's post_conf pipeline every step)."""
+        from credit_tpu.postblock import build_postblocks
+
+        try:
+            from credit_tpu.grid import grid_from_conf
+
+            grid = grid_from_conf(self.conf)
+        except Exception:
+            grid = None
+        try:
+            return build_postblocks(self.conf, self.schema, grid, self.normalizer)
+        except Exception as e:
+            post_conf = (self.conf.get("model", {}) or {}).get("post_conf") or {}
+            if post_conf.get("activate"):
+                raise  # user asked for postblocks; never degrade silently
+            logger.debug("no trainable postblocks (%s)", e)
+            return []
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -332,6 +422,12 @@ class Trainer:
         from credit_tpu.parallel.sharding import batch_sharding
 
         bs = batch_sharding(self.mesh, 5, domain=self.mesh.shape["domain"] > 1)
+        if jax.process_count() > 1:
+            # each process holds only its dp rows' samples; assemble the
+            # global array from per-process shards
+            # (reference: fsdp2.py feeds rank-local batches under DTensor)
+            return {k: jax.make_array_from_process_local_data(bs, np.asarray(v))
+                    for k, v in batch.items()}
         return {k: jax.device_put(v, bs) for k, v in batch.items()}
 
     # ------------------------------------------------------------------
@@ -343,13 +439,40 @@ class Trainer:
             rng, init_rng = jax.random.split(rng)
             state = self.init_state(init_rng)
 
-        sampler = MultiStepSampler(
-            len(self.dataset), self.batch_size, self.forecast_len,
-            self.history_len, seed=seed, batches_per_epoch=self.batches_per_epoch)
-        vsampler = MultiStepSampler(
-            len(self.valid_dataset), self.valid_batch_size, self.forecast_len,
-            self.history_len, seed=seed + 1, shuffle=False,
-            batches_per_epoch=self.valid_batches)
+        # Multi-process feed: each process samples only its dp rows' init
+        # times (shared-seed permutation keeps ranks consistent; reference:
+        # credit/samplers.py:64 DistributedMultiStepBatchSampler +
+        # parallel/mesh.py:115 data_parallel_coords contract).
+        nproc = jax.process_count()
+        if self.mesh is not None and nproc > 1:
+            from credit_tpu.parallel.mesh import local_dp_rows
+
+            rows = local_dp_rows(self.mesh)
+            if not rows:
+                raise RuntimeError("process owns no dp rows of the mesh")
+            per_row = self.batch_size // self.dp
+            samplers = [MultiStepSampler(
+                len(self.dataset), per_row, self.forecast_len,
+                self.history_len, dp_rank=r, dp_size=self.dp, seed=seed,
+                batches_per_epoch=self.batches_per_epoch) for r in rows]
+            if self.valid_batch_size % self.dp != 0:
+                raise ValueError(
+                    f"valid_batch_size={self.valid_batch_size} not divisible "
+                    f"by dp={self.dp} (required for multi-process feed)")
+            vper = self.valid_batch_size // self.dp
+            vsamplers = [MultiStepSampler(
+                len(self.valid_dataset), vper, self.forecast_len,
+                self.history_len, dp_rank=r, dp_size=self.dp, seed=seed + 1,
+                shuffle=False, batches_per_epoch=self.valid_batches)
+                for r in rows]
+        else:
+            samplers = [MultiStepSampler(
+                len(self.dataset), self.batch_size, self.forecast_len,
+                self.history_len, seed=seed, batches_per_epoch=self.batches_per_epoch)]
+            vsamplers = [MultiStepSampler(
+                len(self.valid_dataset), self.valid_batch_size, self.forecast_len,
+                self.history_len, seed=seed + 1, shuffle=False,
+                batches_per_epoch=self.valid_batches)]
 
         os.makedirs(self.save_loc, exist_ok=True)
         self.schema.save(self.save_loc)
@@ -373,38 +496,65 @@ class Trainer:
             except ImportError:
                 logger.warning("tensorboardX not available; skipping TB logging")
 
+        fetch_every = int(self.conf.get("trainer", {}).get("metrics_fetch_every", 50))
         for epoch in range(self.num_epoch):
-            sampler.set_epoch(epoch)
+            for s in samplers:
+                s.set_epoch(epoch)
             t0 = time.time()
-            train_losses = []
-            for tidx in sampler:
+            # accumulate metrics ON DEVICE — a float() per step would block
+            # dispatch pipelining (host syncs every batch); fetch once/epoch
+            acc, n_tr = None, 0
+            for tidxs in zip(*samplers):
+                tidx = np.concatenate(tidxs) if len(tidxs) > 1 else tidxs[0]
                 batch = self._shard_batch(
-                    {k: jnp.asarray(v) for k, v in
+                    {k: np.asarray(v) for k, v in
                      self.dataset.batch(tidx, self.forecast_len).items() if v is not None})
                 rng, sub = jax.random.split(rng)
                 state, metrics = self._train_step(state, batch, sub)
-                train_losses.append(float(metrics["loss"]))
-            valid_losses = []
-            for tidx in vsampler:
+                acc = metrics if acc is None else jax.tree_util.tree_map(
+                    jnp.add, acc, metrics)
+                n_tr += 1
+                if fetch_every and n_tr % fetch_every == 0:
+                    logger.info("epoch %d batch %d loss %.5f", epoch, n_tr,
+                                float(metrics["loss"]))
+            vacc, n_va = None, 0
+            for tidxs in zip(*vsamplers):
+                tidx = np.concatenate(tidxs) if len(tidxs) > 1 else tidxs[0]
                 batch = self._shard_batch(
-                    {k: jnp.asarray(v) for k, v in
+                    {k: np.asarray(v) for k, v in
                      self.valid_dataset.batch(tidx, self.forecast_len).items() if v is not None})
-                valid_losses.append(float(self._eval_step(state, batch)["loss"]))
-            tr = float(np.mean(train_losses)) if train_losses else np.nan
-            va = float(np.mean(valid_losses)) if valid_losses else tr
+                vm = self._eval_step(state, batch)
+                vacc = vm if vacc is None else jax.tree_util.tree_map(jnp.add, vacc, vm)
+                n_va += 1
+            acc_h = jax.device_get(acc) if acc is not None else {}
+            vacc_h = jax.device_get(vacc) if vacc is not None else {}
+            tr = float(acc_h.get("loss", np.nan)) / max(n_tr, 1)
+            va = float(vacc_h.get("loss")) / n_va if n_va else tr
             dt = time.time() - t0
             logger.info("epoch %d train %.5f valid %.5f (%.1fs)", epoch, tr, va, dt)
+            # per-variable columns (reference: base_trainer.py:663-703 writes
+            # the full metrics dict to training_log.csv)
+            var_cols = sorted(k for k in acc_h if k not in
+                              ("loss", "grad_norm", "finite"))
             write_header = not os.path.exists(log_path)
             with open(log_path, "a", newline="") as f:
                 wcsv = csv.writer(f)
                 if write_header:
-                    wcsv.writerow(["epoch", "train_loss", "valid_loss", "seconds", "lr"])
-                wcsv.writerow([epoch, tr, va, dt, float(self.schedule(state.step))])
+                    wcsv.writerow(["epoch", "train_loss", "valid_loss",
+                                   "seconds", "lr", "grad_norm"] +
+                                  [f"train_{k}" for k in var_cols])
+                wcsv.writerow([epoch, tr, va, dt, float(self.schedule(state.step)),
+                               float(acc_h.get("grad_norm", np.nan)) / max(n_tr, 1)] +
+                              [float(acc_h[k]) / max(n_tr, 1) for k in var_cols])
             if tb is not None:
                 tb.add_scalar("loss/train", tr, epoch)
                 tb.add_scalar("loss/valid", va, epoch)
                 tb.add_scalar("lr", float(self.schedule(state.step)), epoch)
+                for k in var_cols:
+                    tb.add_scalar(f"train/{k}", float(acc_h[k]) / max(n_tr, 1), epoch)
                 tb.flush()
+            if self.optuna_trial is not None:
+                self._optuna_report(va, epoch)
 
             self.save_checkpoint(state, epoch)
             if va < best_loss:
