@@ -109,6 +109,11 @@ def cmd_train(args):
     from credit_tpu.applications import run_training
 
     conf = _load(args)
+    # multi-host bootstrap BEFORE any device use (reference:
+    # credit/distributed.py:32 setup); no-op for single-process configs
+    from credit_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize(conf)
     if args.profile:
         import jax
 
@@ -275,6 +280,10 @@ def cmd_submit(args):
 #PBS -l walltime=12:00:00
 #PBS -j oe
 cd $PBS_O_WORKDIR
+# multi-node rendezvous: process 0 of the node list is the coordinator
+NODES=($(sort -u $PBS_NODEFILE)); export CREDIT_NUM_PROCESSES=${{#NODES[@]}}
+export CREDIT_COORDINATOR=${{NODES[0]}}:29500
+export CREDIT_PROCESS_ID=$(grep -n $(hostname) <(printf '%s\\n' "${{NODES[@]}}") | cut -d: -f1 | head -1 | awk '{{print $1-1}}')
 python -m credit_tpu.cli train {args.config}
 """
     elif args.scheduler == "gcloud":
@@ -282,14 +291,17 @@ python -m credit_tpu.cli train {args.config}
 # Launch on every worker of a TPU pod slice (GSPMD single-program):
 gcloud compute tpus tpu-vm ssh {args.tpu_name or 'TPU_NAME'} \\
   --zone={args.zone or 'ZONE'} --worker=all \\
-  --command="cd $(pwd) && python -m credit_tpu.cli train {args.config}"
+  --command="cd $(pwd) && CREDIT_DISTRIBUTED=auto python -m credit_tpu.cli train {args.config}"
+# CREDIT_DISTRIBUTED=auto -> jax.distributed.initialize() autodetects the pod
 """
     else:
         script = f"""#!/bin/bash
 #SBATCH --job-name={name}
 #SBATCH --nodes={args.nodes}
 #SBATCH --exclusive
-srun python -m credit_tpu.cli train {args.config}
+export CREDIT_NUM_PROCESSES=$SLURM_NNODES
+export CREDIT_COORDINATOR=$(scontrol show hostnames $SLURM_JOB_NODELIST | head -1):29500
+srun bash -c 'CREDIT_PROCESS_ID=$SLURM_PROCID python -m credit_tpu.cli train {args.config}'
 """
     out = args.out or f"launch_{name}.sh"
     with open(out, "w") as f:

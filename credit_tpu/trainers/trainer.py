@@ -444,10 +444,14 @@ class Trainer:
         # credit/samplers.py:64 DistributedMultiStepBatchSampler +
         # parallel/mesh.py:115 data_parallel_coords contract).
         nproc = jax.process_count()
-        if self.mesh is not None and nproc > 1:
+        if self.mesh is not None and self.dp > 1:
             from credit_tpu.parallel.mesh import local_dp_rows
 
-            rows = local_dp_rows(self.mesh)
+            # one sampler per dp row this process feeds; single-process owns
+            # every row — identical global-batch composition either way, so a
+            # 2-process run reproduces the single-process loss exactly
+            rows = (local_dp_rows(self.mesh) if nproc > 1
+                    else tuple(range(self.dp)))
             if not rows:
                 raise RuntimeError("process owns no dp rows of the mesh")
             per_row = self.batch_size // self.dp
@@ -458,7 +462,7 @@ class Trainer:
             if self.valid_batch_size % self.dp != 0:
                 raise ValueError(
                     f"valid_batch_size={self.valid_batch_size} not divisible "
-                    f"by dp={self.dp} (required for multi-process feed)")
+                    f"by dp={self.dp} (required for dp-sharded feed)")
             vper = self.valid_batch_size // self.dp
             vsamplers = [MultiStepSampler(
                 len(self.valid_dataset), vper, self.forecast_len,
@@ -474,8 +478,11 @@ class Trainer:
                 self.history_len, seed=seed + 1, shuffle=False,
                 batches_per_epoch=self.valid_batches)]
 
+        from credit_tpu.parallel.distributed import is_primary
+
         os.makedirs(self.save_loc, exist_ok=True)
-        self.schema.save(self.save_loc)
+        if is_primary():
+            self.schema.save(self.save_loc)
         log_path = os.path.join(self.save_loc, "training_log.csv")
         best_loss = np.inf
         patience = 0
@@ -536,16 +543,20 @@ class Trainer:
             # the full metrics dict to training_log.csv)
             var_cols = sorted(k for k in acc_h if k not in
                               ("loss", "grad_norm", "finite"))
+            from credit_tpu.parallel.distributed import is_primary
+
             write_header = not os.path.exists(log_path)
-            with open(log_path, "a", newline="") as f:
-                wcsv = csv.writer(f)
-                if write_header:
-                    wcsv.writerow(["epoch", "train_loss", "valid_loss",
-                                   "seconds", "lr", "grad_norm"] +
-                                  [f"train_{k}" for k in var_cols])
-                wcsv.writerow([epoch, tr, va, dt, float(self.schedule(state.step)),
-                               float(acc_h.get("grad_norm", np.nan)) / max(n_tr, 1)] +
-                              [float(acc_h[k]) / max(n_tr, 1) for k in var_cols])
+            if is_primary():  # host-side logs owned by process 0
+                with open(log_path, "a", newline="") as f:
+                    wcsv = csv.writer(f)
+                    if write_header:
+                        wcsv.writerow(["epoch", "train_loss", "valid_loss",
+                                       "seconds", "lr", "grad_norm"] +
+                                      [f"train_{k}" for k in var_cols])
+                    wcsv.writerow(
+                        [epoch, tr, va, dt, float(self.schedule(state.step)),
+                         float(acc_h.get("grad_norm", np.nan)) / max(n_tr, 1)] +
+                        [float(acc_h[k]) / max(n_tr, 1) for k in var_cols])
             if tb is not None:
                 tb.add_scalar("loss/train", tr, epoch)
                 tb.add_scalar("loss/valid", va, epoch)
@@ -578,12 +589,18 @@ class Trainer:
 
         import orbax.checkpoint as ocp
 
+        from credit_tpu.parallel.distributed import is_primary
+
         path = os.path.abspath(os.path.join(self.save_loc, tag))
-        if tag == "checkpoint" and os.path.exists(path) and \
+        if is_primary() and tag == "checkpoint" and os.path.exists(path) and \
                 self.conf.get("trainer", {}).get("save_backup_weights"):
             backup = os.path.abspath(os.path.join(self.save_loc, "backup_checkpoint"))
             shutil.rmtree(backup, ignore_errors=True)
             shutil.copytree(path, backup)
+        # orbax save is a COLLECTIVE across processes: every process writes
+        # its addressable shards of the GSPMD arrays (the reference's DCP
+        # full-state gather analogue, fsdp2.py:205-286 — no host gather here,
+        # sharded writes + metadata commit on process 0)
         ckptr = ocp.StandardCheckpointer()
         payload = {"params": state.params, "spectral": state.spectral,
                    "step": state.step, "opt_state": state.opt_state}
@@ -591,8 +608,9 @@ class Trainer:
             payload["ema_params"] = state.ema_params
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
-        with open(os.path.join(self.save_loc, "epoch.txt"), "w") as f:
-            f.write(str(epoch))
+        if is_primary():
+            with open(os.path.join(self.save_loc, "epoch.txt"), "w") as f:
+                f.write(str(epoch))
 
     def load_checkpoint(self, state: TrainState, tag: str = "checkpoint",
                         load_optimizer: bool = True) -> TrainState:
