@@ -120,11 +120,33 @@ def load_dataset(conf: dict, schema: ChannelSchema, grid, split: str = "train"):
         from credit_tpu.data.multi_source import build_multi_source
 
         return build_multi_source(conf, schema, grid, split)
-    src = next(iter(sources.values()))
+    name, src = next(iter(sources.items()))
     dtype = src.get("dataset_type", "synthetic" if not src.get("path") else "local")
     if dtype == "synthetic":
         return SyntheticDataset(schema, grid, history_len=history_len,
                                 n_times=int(dconf.get("n_times", 64)),
                                 seed=int(conf.get("seed", 0)))
+    return build_source_dataset(dtype, schema, src, dconf, name, grid,
+                                history_len)
+
+
+CLOCKED_TYPES = ("zarr", "arco_era5", "wb2_era5", "tisr", "goes", "hrrr",
+                 "mrms")
+
+
+def build_source_dataset(dtype: str, schema, src: dict, dconf: dict,
+                         name: str, grid, history_len: int):
+    """Instantiate one source dataset (reference: gen_2 _SOURCE_REGISTRY
+    routing, multi_source.py:99 route_to_dataset_class)."""
+    from credit_tpu.data import era5 as _era5  # noqa: F401 (registration)
+    from credit_tpu.data import tisr as _tisr  # noqa: F401
+
     cls = registry.get("dataset", dtype)
+    if dtype in CLOCKED_TYPES:
+        forecast_len = int(dconf.get("forecast_len", 1)) or 1
+        kwargs = dict(source_name=name, history_len=history_len,
+                      forecast_len=forecast_len)
+        if dtype == "tisr":
+            kwargs["grid"] = grid
+        return cls(schema, src, dconf, **kwargs)
     return cls(schema, path=src["path"], history_len=history_len)

@@ -14,7 +14,6 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from credit_tpu import registry
 from credit_tpu.data.channels import ChannelSchema
 
 
@@ -54,6 +53,14 @@ class MultiSourceDataset:
         lengths = {len(ds) for ds in sources.values()}
         if len(lengths) > 1:
             raise ValueError(f"sources disagree on clock length: {lengths}")
+        # datetime-clocked sources must agree on the master clock
+        clocks = [ds.clock for ds in sources.values() if hasattr(ds, "clock")]
+        for c in clocks[1:]:
+            if (str(c.time_at(0)) != str(clocks[0].time_at(0))
+                    or c.dt != clocks[0].dt):
+                raise ValueError(
+                    f"source clocks disagree: {c.time_at(0)}@{c.dt} vs "
+                    f"{clocks[0].time_at(0)}@{clocks[0].dt}")
 
     def __len__(self):
         return len(next(iter(self.sources.values())))
@@ -111,6 +118,8 @@ def build_multi_source(conf: dict, schema: ChannelSchema, grid,
                 n_times=int(dconf.get("n_times", 64)),
                 seed=int(conf.get("seed", 0)))
         else:
-            cls = registry.get("dataset", dtype)
-            subs[name] = cls(sub_schema, path=src["path"], history_len=history_len)
+            from credit_tpu.data.local import build_source_dataset
+
+            subs[name] = build_source_dataset(dtype, sub_schema, src, dconf,
+                                              name, grid, history_len)
     return MultiSourceDataset(schema, subs, history_len)
