@@ -115,20 +115,73 @@ def run_rollout(conf: dict, n_steps: Optional[int] = None,
                            use_ema=use_ema)
 
     dataset = exp["dataset"]
-    t0 = dataset.history_len
-    x0 = jnp.asarray(dataset.input_at(t0)[None])
-    init_label = pconf.get("init_label", f"init{t0:04d}")
+    inits = _resolve_init_indices(pconf, dataset)
+    # rank-strided multi-init loop (reference: rollout_to_netcdf.py:266 —
+    # each rank rolls out its stride of the init list)
+    from credit_tpu.forecast import strided_for_rank
+
+    inits = strided_for_rank(inits, jax.process_index(), jax.process_count())
+    ens = int(pconf.get("ensemble_size", 1) or 1)
+    noise_std = float(pconf.get("perturbation_std", 1e-3))
+
     written = []
+    for t0, label in inits:
+        x_ic = jnp.asarray(dataset.input_at(t0)[None])
+        members = [("", x_ic)]
+        if ens > 1:
+            # gaussian IC perturbations (reference ensemble rollout: noise /
+            # bred-vector ICs; members get their own output dirs _eNN)
+            from credit_tpu.ensemble.noise import GaussianNoise
 
-    def forcing(s):
-        f = dataset.forcing_at(t0 + s) if hasattr(dataset, "forcing_at") else None
-        return None if f is None else f[None]
+            g = GaussianNoise(noise_std)
+            members = [("", x_ic)] + [
+                (f"_e{m:02d}",
+                 g(jax.random.fold_in(jax.random.PRNGKey(
+                     int(pconf.get("seed", 0))), t0 * 1000 + m), x_ic))
+                for m in range(1, ens)]
+        for suffix, x0 in members:
+            init_label = f"{label}{suffix}"
 
-    def writer(step, y):
-        p = save_netcdf_increment(y[0], exp["schema"], exp["grid"], save_dir,
-                                  init_label, (step + 1) * lead_hours)
-        written.append(p)
+            def forcing(s, t0=t0):
+                f = (dataset.forcing_at(t0 + s)
+                     if hasattr(dataset, "forcing_at") else None)
+                return None if f is None else f[None]
 
-    engine.run(x0, n_steps, forcing_provider=forcing, on_step=writer)
-    logger.info("wrote %d forecast files to %s", len(written), save_dir)
+            def writer(step, y, init_label=init_label):
+                p = save_netcdf_increment(
+                    y[0], exp["schema"], exp["grid"], save_dir, init_label,
+                    (step + 1) * lead_hours)
+                written.append(p)
+
+            engine.run(x0, n_steps, forcing_provider=forcing, on_step=writer)
+    logger.info("wrote %d forecast files (%d inits x %d members) to %s",
+                len(written), len(inits), ens, save_dir)
     return written
+
+
+def _resolve_init_indices(pconf: dict, dataset):
+    """-> [(clock_index, label)]: predict.forecasts datetimes when the
+    dataset has a datetime clock (reference: forecast.py:39
+    generate_forecasts), explicit integer indices, or the single default
+    init at history_len."""
+    fc = pconf.get("forecasts")
+    if fc is not None and hasattr(dataset, "index_of"):
+        from credit_tpu.forecast import generate_forecasts
+
+        out = []
+        for when in generate_forecasts(pconf):
+            idx = dataset.index_of(when.isoformat())
+            out.append((idx, when.strftime("%Y-%m-%dT%HZ")))
+        return out
+    if isinstance(fc, list) and fc and isinstance(fc[0], int):
+        return [(int(i), f"init{int(i):04d}") for i in fc]
+    if fc is not None and not hasattr(dataset, "index_of"):
+        # integer-clock datasets: expand duration x start_hours as offsets
+        from credit_tpu.forecast import generate_forecasts
+
+        base = dataset.history_len
+        n = len(generate_forecasts(pconf))
+        return [(base + i, f"init{base + i:04d}")
+                for i in range(n) if base + i < len(dataset) - 1]
+    t0 = dataset.history_len
+    return [(t0, pconf.get("init_label", f"init{t0:04d}"))]

@@ -298,7 +298,19 @@ def convert_fuxi(state_dict: Dict[str, Any], variables: Dict[str, Any],
     while f"u_transformer.layer.blocks.{i}.norm1.weight" in sd:
         ref = f"u_transformer.layer.blocks.{i}"
         my = ["u_transformer", "swin", f"block{i}"]
-        dense_folded(my + ["attn", "qkv"], f"{ref}.attn.qkv", bias=False)
+        # Reference quirk we must reproduce exactly: timm's SwinV2 attention
+        # computes F.linear(x, self.qkv.weight, qkv_bias) — reading .weight
+        # as an ATTRIBUTE, which bypasses torch spectral_norm's pre-forward
+        # hook. With the reference's model-wide apply_spectral_norm, qkv is
+        # therefore effectively RAW (weight_orig) at eval, while cpb_mlp /
+        # proj / mlp (invoked as modules) are sigma-folded.
+        if f"{ref}.attn.qkv.weight_orig" in sd:
+            put(params, my + ["attn", "qkv", "kernel"],
+                sd[f"{ref}.attn.qkv.weight_orig"].T)
+            used.update((f"{ref}.attn.qkv.weight_orig",
+                         f"{ref}.attn.qkv.weight_u", f"{ref}.attn.qkv.weight_v"))
+        else:
+            dense_folded(my + ["attn", "qkv"], f"{ref}.attn.qkv", bias=False)
         for b in ("q_bias", "v_bias"):
             put(params, my + ["attn", b], sd[f"{ref}.attn.{b}"])
             used.add(f"{ref}.attn.{b}")

@@ -24,9 +24,6 @@ from tests.reference_oracle import install_reference
 
 
 def _install_timm_stub():
-    if "timm" in sys.modules and hasattr(sys.modules.get("timm.models.swin_transformer_v2", None),
-                                         "SwinTransformerV2Stage"):
-        return
     import torch.nn as nn
 
     class IdentityStage(nn.Module):
@@ -62,20 +59,29 @@ KW = dict(image_height=32, image_width=64, patch_height=4, patch_width=4,
                         "pad_lat": [4, 4], "pad_lon": [4, 4]})
 
 
-def test_fuxi_conversion_matches_reference_identity_core():
+def _run_fuxi_parity(depth: int, use_real_core: bool, seed: int = 11):
     install_reference()
-    _install_timm_stub()
+    if use_real_core:
+        _install_timm_vendored()
+    else:
+        _install_timm_stub()
+    import credit.models.fuxi as ref_fuxi
     from credit.models.fuxi import Fuxi as TorchFuxi
 
     from credit_tpu.convert_torch import convert_fuxi
     from credit_tpu.models import load_model
 
-    torch.manual_seed(11)
-    ref = TorchFuxi(**KW)
+    # credit.models.fuxi binds SwinTransformerV2Stage at import time; repoint
+    # it at whichever core (identity stub / vendored real) this run installed
+    ref_fuxi.SwinTransformerV2Stage = sys.modules[
+        "timm.models.swin_transformer_v2"].SwinTransformerV2Stage
+
+    torch.manual_seed(seed)
+    ref = TorchFuxi(**{**KW, "depth": max(depth, 1) if use_real_core else KW["depth"]})
     ref.eval()
 
     conf = {"model": {"type": "fuxi", **{k: v for k, v in KW.items()},
-                      "depth": 0}}  # identity swin core on our side too
+                      "depth": depth}}
     mine = load_model(conf)
     x = jnp.zeros((1, 2, 32, 64, mine.base_input_channels), jnp.float32)
     variables = jax.jit(mine.init)(jax.random.PRNGKey(0), x)
@@ -90,3 +96,25 @@ def test_fuxi_conversion_matches_reference_identity_core():
                           (0, 4, 1, 2, 3))
     scale = np.abs(y_ref).max()
     np.testing.assert_allclose(y_mine, y_ref, rtol=3e-4, atol=3e-4 * scale)
+
+
+def _install_timm_vendored():
+    """Install the REAL vendored SwinV2 stage (tests/torch_swin_v2.py, the
+    timm parameterization) as the reference's timm dependency — full-core
+    parity, not the identity stub."""
+    import tests.torch_swin_v2 as vendored
+
+    _install_timm_stub()
+    sys.modules["timm.models.swin_transformer_v2"].SwinTransformerV2Stage = \
+        vendored.SwinTransformerV2Stage
+
+
+def test_fuxi_conversion_matches_reference_identity_core():
+    _run_fuxi_parity(depth=0, use_real_core=False)
+
+
+def test_fuxi_conversion_matches_reference_real_swin_core():
+    """Full FuXi parity with a real (non-identity) SwinV2 core at depth=2 —
+    the timm-parameterized oracle covers qkv/logit_scale/CPB conversion
+    (VERDICT round-1 item 6 'done' criterion)."""
+    _run_fuxi_parity(depth=2, use_real_core=True)
