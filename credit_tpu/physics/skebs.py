@@ -114,10 +114,15 @@ class SKEBS:
     def backscatter_rate(self, x_phys: Optional[jnp.ndarray]) -> jnp.ndarray:
         if callable(self.backscatter):
             rate = self.backscatter(x_phys)
-            spec = self.sht.grid2spec(rate) * self.backscatter_filter
-            rate = self.sht.spec2grid(spec)
-            return jnp.clip(rate, 0.0, 1.0)  # relu1, reference :668
+            rate = self.filter_rate(rate)
+            return rate
         return jnp.asarray(self.backscatter, jnp.float32)
+
+    def filter_rate(self, rate: jnp.ndarray) -> jnp.ndarray:
+        """Spectrally low-pass a predicted backscatter-rate field, then ReLU
+        (reference skebs.py:662-667 spectral_backscatter_filter + relu1)."""
+        spec = self.sht.grid2spec(rate) * self.backscatter_filter
+        return jnp.maximum(self.sht.spec2grid(spec), 0.0)
 
     def perturb_winds(self, u: jnp.ndarray, v: jnp.ndarray,
                       spec_coef: jnp.ndarray, key: jax.Array,

@@ -38,9 +38,16 @@ class StatefulPostblock(BasePostblock):
 class SKEBSPostblock(StatefulPostblock):
     """Perturb predicted winds with the SKEBS backscatter pattern
     (reference: skebs.py:596 forward — perturbation applied to U/V channels
-    of y_pred in physical space)."""
+    of y_pred in physical space).
+
+    With `backscatter_net` configured (e.g. {'type': 'fcnn'}), the
+    dissipation rate is PREDICTED from the input state by a trainable flax
+    network whose parameters live under params['_postblocks'][i] and are
+    updated by the optimizer with the model (reference: learned
+    FCNN/CNN/Unet backscatter, skebs.py:37-242,553-760)."""
 
     def __init__(self, schema: ChannelSchema, grid, U_var="U", V_var="V",
+                 backscatter_net=None, dissipation_scaling: float = 1.0,
                  **skebs_kwargs):
         from credit_tpu.physics.skebs import SKEBS, SKEBSParams
 
@@ -51,11 +58,36 @@ class SKEBSPostblock(StatefulPostblock):
         self.skebs = SKEBS(grid, params, **skebs_kwargs)
         self.U = _VarView(schema, U_var)
         self.V = _VarView(schema, V_var)
+        self.scaling = dissipation_scaling
+        self.net = None
+        if backscatter_net:
+            from credit_tpu.physics.skebs_nets import build_backscatter_net
+
+            n_lev = max(getattr(schema, "n_levels", 1), 1)
+            self.net = build_backscatter_net(backscatter_net, n_lev)
+        self.is_trainable = self.net is not None
 
     def init_state(self, batch_size: int):
         return self.skebs.init_state(jax.random.PRNGKey(0), batch_size)
 
-    def __call__(self, y_pred, x, state, key):
+    def init_params(self, key, x_sample):
+        """x_sample: (B, T, H, W, C_in) — net sees the last input frame."""
+        if self.net is None:
+            return None
+        return self.net.init(key, x_sample[:, -1])["params"]
+
+    def _rate(self, x, net_params):
+        if self.net is None:
+            return self.skebs.backscatter_rate(None), False
+        rate = self.net.apply({"params": net_params}, x[:, -1])  # (B,H,W,L)
+        rate = self.scaling * rate
+        # spectral low-pass per level: SHT acts on trailing (lat, lon)
+        rate = jnp.moveaxis(rate, -1, 1)               # (B, L, H, W)
+        rate = self.skebs.filter_rate(rate)
+        rate = jnp.moveaxis(rate, 1, -1)               # (B, H, W, L)
+        return rate, True
+
+    def __call__(self, y_pred, x, state, key, net_params=None):
         u = self.U.get(y_pred)  # (B, T, H, W, L) or (B, T, H, W)
         v = self.V.get(y_pred)
         has_lev = u.ndim == 5
@@ -67,7 +99,14 @@ class SKEBSPostblock(StatefulPostblock):
         if has_lev:
             pert_u = pert_u[..., None]
             pert_v = pert_v[..., None]
-        rate = self.skebs.backscatter_rate(None)
+        rate, learned = self._rate(x, net_params)
+        if learned:
+            rate = rate[:, None]                       # (B, 1, H, W, L)
+            if not has_lev:
+                rate = rate.mean(-1)
+            # ReLU'd rates hit exact 0 where sqrt' blows up — dead-zone
+            # clamp keeps the gradient finite (0 below threshold)
+            rate = jnp.maximum(rate, 1e-10)
         diss = jnp.sqrt(self.skebs.params.r * rate / self.skebs.params.dE)
         y_pred = self.U.set(y_pred, u + diss * pert_u)
         y_pred = self.V.set(y_pred, v + diss * pert_v)
@@ -105,13 +144,19 @@ class AdvectionPostblock(BasePostblock):
         return y_pred
 
 
-def apply_postblocks_stateful(blocks, y_pred, x, states: dict, key):
-    """Apply a mixed stateless/stateful pipeline; returns (y_pred, states)."""
+def apply_postblocks_stateful(blocks, y_pred, x, states: dict, key,
+                              params: dict = None):
+    """Apply a mixed stateless/stateful pipeline; returns (y_pred, states).
+    `params` maps block index -> trainable params (params['_postblocks'])."""
     new_states = dict(states)
     for i, b in enumerate(blocks):
         if getattr(b, "is_stateful", False):
             key, sub = jax.random.split(key)
-            y_pred, new_states[i] = b(y_pred, x, states[i], sub)
+            if getattr(b, "is_trainable", False):
+                y_pred, new_states[i] = b(y_pred, x, states[i], sub,
+                                          net_params=(params or {}).get(str(i)))
+            else:
+                y_pred, new_states[i] = b(y_pred, x, states[i], sub)
         else:
             y_pred = b(y_pred, x)
     return y_pred, new_states
@@ -120,3 +165,15 @@ def apply_postblocks_stateful(blocks, y_pred, x, states: dict, key):
 def init_postblock_states(blocks, batch_size: int) -> dict:
     return {i: b.init_state(batch_size) for i, b in enumerate(blocks)
             if getattr(b, "is_stateful", False)}
+
+
+def init_postblock_params(blocks, key, x_sample) -> dict:
+    """Trainable-postblock params, keyed by str(index) — merged into the
+    train state under params['_postblocks'] (reference: backscatter nets are
+    parameters of the wrapped model)."""
+    out = {}
+    for i, b in enumerate(blocks):
+        if getattr(b, "is_trainable", False):
+            key, sub = jax.random.split(key)
+            out[str(i)] = b.init_params(sub, x_sample)
+    return out

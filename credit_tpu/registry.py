@@ -20,6 +20,7 @@ _REGISTRIES: Dict[str, Dict[str, Any]] = {
     "postblock": {},
     "trainer": {},
     "scheduler": {},
+    "skebs_net": {},
 }
 
 

@@ -40,8 +40,15 @@ class RolloutEngine:
         self.history_len = history_len
         self.postblocks = list(postblocks or [])
         params = variables.get("ema_params") if use_ema else None
+        params = params if params is not None else variables["params"]
+        # trainable postblock nets ride under params['_postblocks'] in
+        # checkpoints; split them from the model params for apply
+        self.pb_params = None
+        if isinstance(params, dict) and "_postblocks" in params:
+            self.pb_params = params["_postblocks"]
+            params = {k: v for k, v in params.items() if k != "_postblocks"}
         self.variables = {
-            "params": params if params is not None else variables["params"],
+            "params": params,
             "spectral": variables.get("spectral", {}),
         }
         from credit_tpu.postblock.stochastic import (
@@ -57,7 +64,8 @@ class RolloutEngine:
             key, noise_key = jax.random.split(key)
             y_pred = self.model.apply(variables, x, rngs={"noise": noise_key})
             y_pred, states = apply_postblocks_stateful(
-                self.postblocks, y_pred, x, states, key)
+                self.postblocks, y_pred, x, states, key,
+                params=self.pb_params)
             new_frame = self.schema.update_x(x[:, -1:], y_pred[:, -1:], forcing_next)
             if self.history_len > 1:
                 x_next = jnp.concatenate([x[:, 1:], new_frame], axis=1)

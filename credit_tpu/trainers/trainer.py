@@ -113,14 +113,23 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
 
     def apply_model(params, spectral, x, rng=None):
         rngs = {"noise": rng} if rng is not None else None
-        return model.apply({"params": params, "spectral": spectral}, x,
-                           train=True, mutable=["spectral"], rngs=rngs)
+        return model.apply({"params": model_params(params), "spectral": spectral},
+                           x, train=True, mutable=["spectral"], rngs=rngs)
 
-    def post(y_pred, x, pb_states, key):
+    has_trainable = any(getattr(b, "is_trainable", False) for b in postblocks)
+
+    def model_params(p):
+        # strip trainable-postblock params before model.apply
+        return ({k: v for k, v in p.items() if k != "_postblocks"}
+                if has_trainable else p)
+
+    def post(y_pred, x, pb_states, key, p):
         if not postblocks:
             return y_pred, pb_states
         if has_stateful:
-            return apply_postblocks_stateful(postblocks, y_pred, x, pb_states, key)
+            return apply_postblocks_stateful(
+                postblocks, y_pred, x, pb_states, key,
+                params=p.get("_postblocks") if has_trainable else None)
         for b in postblocks:
             y_pred = b(y_pred, x)
         return y_pred, pb_states
@@ -132,7 +141,8 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
         spectral = state.spectral
         grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         total_loss = 0.0
-        pb_states = (init_postblock_states(postblocks, x.shape[0])
+        pb_states = (init_postblock_states(postblocks,
+                                           x.shape[0] * ensemble_size)
                      if has_stateful else {})
         var_metrics = {}
 
@@ -149,17 +159,19 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                 x_in = x
 
             if s in bp:
-                def loss_of(p, spec, pbs, x_in=x_in, y_t=y_t, sub=sub, x=x,
+                def loss_of(p, spec, pbs, x_in=x_in, y_t=y_t, sub=sub,
                             post_key=post_key):
                     y_pred, mut = apply_model(p, spec, x_in, sub)
+                    # postblocks act on every member BEFORE the loss (SKEBS
+                    # perturbs each member; fixers close each member's
+                    # budget — reference applies post_conf in the wrapped
+                    # forward, i.e. per member)
+                    y_pred, pbs = post(y_pred, x_in, pbs, post_key, p)
                     if ensemble_size > 1:
                         b = y_t.shape[0]
                         y_e = y_pred.reshape(b, ensemble_size, *y_pred.shape[1:])
                         y_mean = y_e.mean(axis=1)
-                        y_mean, pbs = post(y_mean, x, pbs, post_key)
-                        loss = loss_fn(y_t, y_e)
-                        return loss, (y_mean, mut["spectral"], pbs)
-                    y_pred, pbs = post(y_pred, x, pbs, post_key)
+                        return loss_fn(y_t, y_e), (y_mean, mut["spectral"], pbs)
                     return loss_fn(y_t, y_pred), (y_pred, mut["spectral"], pbs)
 
                 (l, (y_pred, spectral, pb_states)), g = jax.value_and_grad(
@@ -169,10 +181,11 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
             else:
                 y_pred, mut = apply_model(state.params, spectral, x_in, sub)
                 spectral = mut["spectral"]
+                y_pred, pb_states = post(y_pred, x_in, pb_states, post_key,
+                                         state.params)
                 if ensemble_size > 1:
                     b = x.shape[0]
                     y_pred = y_pred.reshape(b, ensemble_size, *y_pred.shape[1:]).mean(axis=1)
-                y_pred, pb_states = post(y_pred, x, pb_states, post_key)
 
             if metrics_fn is not None:
                 step_m = metrics_fn(y_t, jax.lax.stop_gradient(y_pred))
@@ -231,6 +244,8 @@ def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
                             if batch.get("forcing") is not None else {}))
         x = batch["x"]
         params = state.ema_params if state.ema_params is not None else state.params
+        if isinstance(params, dict) and "_postblocks" in params:
+            params = {k: v for k, v in params.items() if k != "_postblocks"}
         total = 0.0
         for s in range(forecast_len):
             y_t = batch["y"][:, s][:, None]
@@ -327,6 +342,7 @@ class Trainer:
         pre_ic = build_preblocks(conf, schema, normalizer, phase="ic_only")
         pre_step = build_preblocks(conf, schema, normalizer, phase="per_step")
         post = self._build_train_postblocks()
+        self.train_postblocks = post
         self.metrics_fn = None
         if t.get("log_variable_metrics", True):
             from credit_tpu.grid import grid_from_conf
@@ -390,6 +406,15 @@ class Trainer:
         variables = self.model.init({"params": r1, "noise": r2}, x)
         params = variables["params"]
         spectral = variables.get("spectral", {})
+        # trainable postblock nets (learned SKEBS backscatter) join the
+        # optimizer's param tree under '_postblocks'
+        from credit_tpu.postblock.stochastic import init_postblock_params
+
+        pbp = init_postblock_params(getattr(self, "train_postblocks", ()),
+                                    jax.random.fold_in(rng, 7), np.asarray(x))
+        if pbp:
+            params = dict(params)
+            params["_postblocks"] = pbp
         opt_state = self.optimizer.init(params)
         ema = jax.tree_util.tree_map(jnp.copy, params) if self.use_ema else None
         n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
