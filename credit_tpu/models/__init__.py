@@ -22,6 +22,7 @@ def load_model(conf: dict):
     from credit_tpu.models import swin as _sw  # noqa: F401
     from credit_tpu.models import unet as _un  # noqa: F401
     from credit_tpu.models import diffusion_heads as _dh  # noqa: F401
+    from credit_tpu.models import regional as _rg  # noqa: F401
     from credit_tpu.models import variants as _va  # noqa: F401
 
     mconf = dict(conf["model"])

@@ -76,6 +76,15 @@ class CrossFormer(BaseModel):
     compute_dtype: Any = jnp.float32
     remat: bool = False
     use_pallas_attention: bool = False
+    # camulator delta: zero-init 3x3 'sharp' residual conv on the decoder
+    # output, EXCLUDED from spectral norm (reference camulator.py:22-26
+    # apply_spectral_norm skips names containing 'sharp'; :78-94 zero-init)
+    sharp_skip: bool = False
+    # downscaling delta: output grid may differ from the input grid
+    # (reference wxformer/crossformer_downscaling.py) — the final bilinear
+    # recovery targets (out_image_height, out_image_width) when set
+    out_image_height: Any = None
+    out_image_width: Any = None
 
     @property
     def base_input_channels(self) -> int:
@@ -148,6 +157,15 @@ class CrossFormer(BaseModel):
             x = SNConvTranspose(out_ch, (4, 4), (2, 2), 1, use_sn=sn, dtype=dt,
                                 name="up_block4")(x, train)
 
+        if self.sharp_skip:
+            # plain (non-SN) conv, zero-init: identity at init, learns a
+            # sharpening residual free of the spectral-norm Lipschitz cap
+            sharp = nn.Conv(out_ch, (3, 3), padding=1,
+                            kernel_init=nn.initializers.zeros_init(),
+                            bias_init=nn.initializers.zeros_init(),
+                            dtype=dt, name="sharp")
+            x = x + sharp(x)
+
         if padder is not None:
             # the reference unpads with the ORIGINAL pad sizes even when the
             # encoder/decoder round-trip changed the grid by floor rounding
@@ -156,6 +174,7 @@ class CrossFormer(BaseModel):
             x = padder.unpad(x)
 
         if self.interp:
-            x = bilinear_resize(x, self.image_height, self.image_width)
+            x = bilinear_resize(x, self.out_image_height or self.image_height,
+                                self.out_image_width or self.image_width)
 
         return channels_to_frames(x, self.output_frames)

@@ -1,41 +1,29 @@
-"""Domain-specific model variants registered as thin specializations.
+"""Domain-specific model variants with their reference behavioral deltas.
 
-The reference carries near-identical architecture clones per domain
-(reference: credit/models/camulator.py:375 — a CrossFormer clone with a
-spectral-norm exclusion for the sharp skip path; credit/models/swin_wrf.py
-WRFTransformer and dscale_wrf.py DscaleTransformer — regional Swin
-transformers; credit/models/wxformer/crossformer_downscaling.py). Here they
-are registry aliases with variant defaults rather than copied code — the
-behavioral deltas (regional/no-earth padding, downscaling output grid)
-are config-driven on the shared backbones.
+(reference: credit/models/camulator.py:375 — CrossFormer clone whose
+apply_spectral_norm skips the zero-init 'sharp' decoder conv, :22-26,78-94;
+credit/models/wxformer/crossformer_downscaling.py — downscaling head onto a
+distinct target grid. The regional swin_wrf/dscale_wrf architectures live
+in credit_tpu/models/regional.py.)
 """
 
 from __future__ import annotations
 
 from credit_tpu import registry
 from credit_tpu.models.crossformer import CrossFormer
-from credit_tpu.models.swin import SwinTransformerV2
 
 
 @registry.register("model", "camulator")
 class Camulator(CrossFormer):
-    """CAM (climate model) emulator — CrossFormer backbone; conservation
-    fixers are attached via post_conf in the postblock pipeline."""
+    """CAM (climate model) emulator: CrossFormer + the sharp-skip delta —
+    a zero-init 3x3 decoder conv residual EXCLUDED from spectral norm
+    (no 'spectral' state for it); conservation fixers attach via post_conf."""
+
+    sharp_skip: bool = True
 
 
 @registry.register("model", "crossformer_downscaling")
 class CrossFormerDownscaling(CrossFormer):
-    """Downscaling head: output grid may differ from input; set
-    image_height/width to the TARGET grid and the final bilinear recovery
-    performs the upscale (reference crossformer_downscaling.py)."""
-
-
-@registry.register("model", "wrf")
-class WRFTransformer(SwinTransformerV2):
-    """Regional WRF transformer (reference swin_wrf.py): Swin backbone,
-    non-periodic regional domain (no earth padding)."""
-
-
-@registry.register("model", "dscale")
-class DscaleTransformer(SwinTransformerV2):
-    """Regional downscaling transformer (reference dscale_wrf.py)."""
+    """Downscaling head: encoder runs on the source grid; the final
+    recovery interpolates onto the TARGET grid set by
+    out_image_height/out_image_width (reference crossformer_downscaling.py)."""
