@@ -1,15 +1,24 @@
-"""Benchmark: 1-degree WXFormer 40-step (10-day @ 6h) autoregressive rollout.
+"""Benchmark: WXFormer autoregressive rollout at 1 deg and 0.25 deg.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per benchmark {"metric", "value", "unit",
+"vs_baseline"} — the LAST line is the 0.25-deg flagship (the driver
+records the final line).
 
-Baseline: the reference serves a 40-step 1-deg rollout in ~30-60 s on one
-A100 (reference: docs/source/serve.md:123-124); we take the 45 s midpoint
--> 0.889 steps/s as vs_baseline=1.0.
+Baselines:
+- 1 deg: the reference serves a 40-step 1-deg rollout in ~30-60 s on one
+  A100 (reference: docs/source/serve.md:123-124); midpoint 45 s
+  -> 0.889 steps/s == vs_baseline 1.0.
+- 0.25 deg: no published reference number; we report gridpoints/s/chip
+  vs the 1-deg A100 baseline's gridpoint rate (conservative: the A100
+  would be slower still on the 40x-larger model).
 
 The whole rollout runs as ONE on-device lax.scan (no host round-trips
-between steps) — the tunnel to the single real TPU chip makes per-step host
-dispatch prohibitively slow, and production rollouts should be device-
-resident anyway (BASELINE.json north star).
+between steps). Compute is bf16 end-to-end by default — params are cast
+once (after spectral-norm convergence in f32) so each step reads half the
+HBM bytes; pass --fp32 to compare. MFU and HBM-roofline figures come from
+the compiled executable's cost analysis when the backend exposes it.
+
+Flags: --1deg / --025 run a single benchmark; default runs both.
 """
 
 from __future__ import annotations
@@ -20,13 +29,13 @@ import time
 
 import numpy as np
 
-N_STEPS = 40
-BASELINE_STEPS_PER_S = 40.0 / 45.0
+N_STEPS_1DEG = 40
+N_STEPS_025 = 10
+BASELINE_STEPS_PER_S = 40.0 / 45.0  # 1-deg A100 serve midpoint
 
-# flagship 0.25-deg variant: `python bench.py --025` (reference scale:
-# config/gen_2/examples/wxformer_era5_025deg_6hr.yml; measured 226.6 ms/step
-# round 1). The default 1-deg metric keeps the driver run fast and has a
-# published A100 baseline (serve.md 30-60 s / 40 steps).
+# flagship 0.25-deg variant (reference scale:
+# config/gen_2/examples/wxformer_era5_025deg_6hr.yml; fp32 round-1 measured
+# 226.6 ms/step on one v5e)
 CONF_025 = {
     "type": "crossformer", "frames": 1, "image_height": 721,
     "image_width": 1440, "levels": 13, "channels": 4, "surface_channels": 4,
@@ -40,8 +49,16 @@ CONF_025 = {
                      "pad_lat": [39, 40], "pad_lon": [0, 0]},
 }
 
+# one v5e chip: 197 TFLOP/s bf16 / 98.5 fp32 MXU peak, ~819 GB/s HBM
+PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
+HBM_BYTES_PER_S = 819e9
 
-def main():
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_bench(flagship: bool, bf16: bool):
     import jax
     import jax.numpy as jnp
 
@@ -50,9 +67,11 @@ def main():
     from credit_tpu.models import load_model
     from credit_tpu.rollout import make_scan_rollout
 
-    flagship = "--025" in sys.argv
-    n_steps = 10 if flagship else N_STEPS
-    model_conf = {"model": CONF_025} if flagship else SMOKE_MODEL_CONF
+    n_steps = N_STEPS_025 if flagship else N_STEPS_1DEG
+    model_conf = ({"model": dict(CONF_025)} if flagship
+                  else {"model": dict(SMOKE_MODEL_CONF["model"])})
+    if bf16:
+        model_conf["model"]["compute_dtype"] = "bfloat16"
     levels = 13 if flagship else 18
     h, w = (721, 1440) if flagship else (181, 360)
     conf = {
@@ -80,56 +99,71 @@ def main():
         schema.n_input, model.base_input_channels)
 
     dev = jax.devices()[0]
-    print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
+    tag = "0.25deg" if flagship else "1deg"
+    log(f"[{tag}] device: {dev} platform={dev.platform} "
+        f"compute={'bf16' if bf16 else 'fp32'}")
 
     rng = jax.random.PRNGKey(0)
     x0 = jax.random.normal(rng, (1, 1, h, w, schema.n_input), jnp.float32) * 0.5
+    if bf16:
+        x0 = x0.astype(jnp.bfloat16)  # carry rides bf16 end-to-end
     t0 = time.time()
     variables = jax.jit(model.init)(rng, x0)
     jax.block_until_ready(variables)
-    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+    log(f"[{tag}] init: {time.time() - t0:.1f}s")
     t0 = time.time()
     from credit_tpu.models.spectral_utils import converge_spectral
 
-    variables = converge_spectral(variables)
+    variables = converge_spectral(variables)  # f32, host-side
+    if bf16:
+        # cast params ONCE — each rollout step then reads half the HBM
+        # bytes for weights (the dominant traffic at batch 1)
+        variables = {
+            "params": jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, variables["params"]),
+            "spectral": variables.get("spectral", {}),
+        }
     variables = jax.device_put(variables)
-    print(f"spectral converge (host): {time.time() - t0:.1f}s", file=sys.stderr)
+    log(f"[{tag}] spectral converge + cast: {time.time() - t0:.1f}s")
 
     # NOTE: through the remote-TPU tunnel block_until_ready returns at
-    # enqueue, so the only reliable sync point is a host transfer. We time a
-    # 40-step and an 80-step rollout (each ending in a scalar fetch) and use
-    # the difference, which cancels the constant dispatch+transfer overhead.
+    # enqueue, so the only reliable sync point is a host transfer. We time
+    # an N-step and a 2N-step rollout (each ending in a scalar fetch) and
+    # difference them, cancelling constant dispatch+transfer overhead.
     def build(n):
         run = make_scan_rollout(model, schema, n, history_len=1,
                                 with_forcing=False)
 
         def run_scalar(variables, x0):
             final_x, stats = run(variables, x0)
-            return jnp.sum(stats)
+            return jnp.sum(stats.astype(jnp.float32))
 
         return jax.jit(run_scalar)
 
-    # measure fixed dispatch+transfer overhead with a trivial computation
-    triv = jax.jit(lambda x: jnp.sum(x) * 1.000001)
-    t0 = time.time()
-    _ = float(triv(x0))
-    print(f"trivial compile+fetch: {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    _ = float(triv(x0 + 0.0))
-    overhead = time.time() - t0
-    print(f"dispatch+fetch overhead: {overhead:.2f}s", file=sys.stderr)
+    rN = build(n_steps)
+    r2N = build(2 * n_steps)
 
-    r40 = build(n_steps)
-    r80 = build(2 * n_steps)
+    # modeled MFU / roofline from the compiled executable, when available
+    flops = bytes_acc = None
+    try:
+        compiled = rN.lower(variables, x0).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+        bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception as e:  # tunnel/backend may not expose cost analysis
+        log(f"[{tag}] cost_analysis unavailable: {e}")
+
     t0 = time.time()
-    out = r40(variables, x0)
-    print(f"40-step dispatch returned: {time.time() - t0:.1f}s", file=sys.stderr)
-    s40 = float(out)
-    print(f"40-step compile+run+fetch: {time.time() - t0:.1f}s (sum={s40:.3e})",
-          file=sys.stderr)
+    sN = float(rN(variables, x0))
+    log(f"[{tag}] {n_steps}-step compile+run+fetch: {time.time() - t0:.1f}s "
+        f"(sum={sN:.3e})")
+    if not np.isfinite(sN):
+        log(f"[{tag}] WARNING: rollout produced non-finite output")
     t0 = time.time()
-    s80 = float(r80(variables, x0))
-    print(f"80-step compile+run+fetch: {time.time() - t0:.1f}s", file=sys.stderr)
+    float(r2N(variables, x0))
+    log(f"[{tag}] {2 * n_steps}-step compile+run+fetch: {time.time() - t0:.1f}s")
 
     def timed(fn, reps=2):
         best = np.inf
@@ -139,26 +173,31 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
-    if not np.isfinite(s40):
-        print("WARNING: rollout produced non-finite output", file=sys.stderr)
-    t40 = timed(r40)
-    t80 = timed(r80)
-    per_step = (t80 - t40) / n_steps
+    tN = timed(rN)
+    t2N = timed(r2N)
+    per_step = (t2N - tN) / n_steps
     if per_step <= 0:
-        per_step = t40 / n_steps  # fallback; overhead-dominated
+        per_step = tN / n_steps  # fallback; overhead-dominated
     steps_per_s = 1.0 / per_step
     gridpoints_per_s = steps_per_s * h * w
-    print(f"t40={t40:.3f}s t80={t80:.3f}s -> {per_step*1e3:.2f} ms/step, "
-          f"{steps_per_s:.1f} steps/s, {gridpoints_per_s/1e6:.1f}M gridpoints/s",
-          file=sys.stderr)
+    log(f"[{tag}] t{n_steps}={tN:.3f}s t{2 * n_steps}={t2N:.3f}s -> "
+        f"{per_step * 1e3:.2f} ms/step, {steps_per_s:.1f} steps/s, "
+        f"{gridpoints_per_s / 1e6:.1f}M gridpoints/s")
 
+    if flops:
+        peak = PEAK_FLOPS["bfloat16" if bf16 else "float32"]
+        mfu = (flops / n_steps) / per_step / peak
+        log(f"[{tag}] modeled MFU: {100 * mfu:.1f}% "
+            f"({flops / n_steps / 1e12:.2f} TFLOP/step @ "
+            f"{peak / 1e12:.0f} TFLOP/s peak)")
+    if bytes_acc:
+        roof = (bytes_acc / n_steps) / per_step / HBM_BYTES_PER_S
+        log(f"[{tag}] HBM roofline: {100 * roof:.1f}% "
+            f"({bytes_acc / n_steps / 1e9:.2f} GB/step @ 819 GB/s)")
+
+    base_gps = BASELINE_STEPS_PER_S * 181 * 360
     metric = ("wxformer_025deg_rollout" if flagship
               else "wxformer_1deg_40step_rollout")
-    # vs_baseline only has a published reference number for the 1-deg serve
-    # case; for the 0.25-deg flagship report gridpoints/s/chip vs the 1-deg
-    # A100 baseline's gridpoint rate (conservative: A100 would be slower on
-    # the 40x-larger model).
-    base_gps = BASELINE_STEPS_PER_S * 181 * 360
     vsb = (gridpoints_per_s / base_gps if flagship
            else steps_per_s / BASELINE_STEPS_PER_S)
     print(json.dumps({
@@ -166,7 +205,17 @@ def main():
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
         "vs_baseline": round(vsb, 3),
-    }))
+    }), flush=True)
+
+
+def main():
+    bf16 = "--fp32" not in sys.argv
+    only_1deg = "--1deg" in sys.argv
+    only_025 = "--025" in sys.argv
+    if not only_025:
+        run_bench(flagship=False, bf16=bf16)
+    if not only_1deg:
+        run_bench(flagship=True, bf16=bf16)
 
 
 if __name__ == "__main__":

@@ -137,6 +137,22 @@ def cmd_rollout(args):
     return 0
 
 
+def cmd_realtime(args):
+    """Realtime NWP-initialized rollout (reference: rollout_realtime.py +
+    credit/nwp.py build_GFS_init)."""
+    from credit_tpu.applications.realtime import load_fields_npz, run_realtime
+
+    conf = _load(args)
+    fields = coords = None
+    if args.fields:
+        fields, coords = load_fields_npz(args.fields)
+    paths = run_realtime(conf, n_steps=args.steps, save_dir=args.out,
+                         fields=fields, coords=coords)
+    for p in paths:
+        print(p)
+    return 0
+
+
 def cmd_preprocess(args):
     """Fit per-channel normalization stats over training samples and write
     them next to the checkpoint (reference: credit preprocess,
@@ -161,6 +177,21 @@ def cmd_preprocess(args):
     out = os.path.join(save_loc, "normalization.npz")
     np.savez(out, input_mean=x.mean(0), input_std=x.std(0) + 1e-8,
              target_mean=y.mean(0), target_std=y.std(0) + 1e-8)
+    if args.scaler:
+        # bridgescaler-analogue distribution scalers (reference:
+        # applications/preprocess.py fits DQuantile/DMinMax over workers;
+        # here per-channel over the sampled rows)
+        sout = os.path.join(save_loc, "scaler.npz")
+        if args.scaler == "quantile":
+            nq = int(args.quantiles)
+            qs = np.linspace(0, 100, nq)
+            np.savez(sout, quantiles=np.stack(
+                [np.percentile(x[:, c], qs) for c in range(x.shape[1])]))
+        elif args.scaler == "minmax":
+            np.savez(sout, min=x.min(0), max=x.max(0) + 1e-8)
+        else:
+            np.savez(sout, mean=x.mean(0), std=x.std(0) + 1e-8)
+        print(f"wrote {sout} ({args.scaler})")
     schema.save(save_loc)
     print(f"wrote {out} (from {n} samples)")
     return 0
@@ -437,9 +468,22 @@ def build_parser():
     sp.add_argument("--ema", action="store_true")
     sp.set_defaults(fn=cmd_rollout)
 
+    sp = sub.add_parser("realtime",
+                        help="NWP-initialized realtime forecast to netCDF")
+    sp.add_argument("config")
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--fields", default=None,
+                    help="npz of decoded NWP fields (lat/lon/pressure + vars)")
+    sp.set_defaults(fn=cmd_realtime)
+
     sp = sub.add_parser("preprocess", help="fit normalization stats")
     sp.add_argument("config")
     sp.add_argument("--samples", type=int, default=32)
+    sp.add_argument("--scaler", default=None,
+                    choices=["quantile", "standard", "minmax"],
+                    help="also fit a bridgescaler-style scaler.npz")
+    sp.add_argument("--quantiles", type=int, default=101)
     sp.set_defaults(fn=cmd_preprocess)
 
     sp = sub.add_parser("convert", help="convert legacy gen1 config to gen2")

@@ -26,6 +26,8 @@ class BaseModel(nn.Module):
         mconf.pop("type", None)
         fields = {f for f in cls.__dataclass_fields__}  # flax modules are dataclasses
         kwargs = {k: v for k, v in mconf.items() if k in fields}
+        if isinstance(kwargs.get("compute_dtype"), str):
+            kwargs["compute_dtype"] = jnp.dtype(kwargs["compute_dtype"])
         return cls(**kwargs)
 
 

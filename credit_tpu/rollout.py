@@ -171,6 +171,9 @@ def make_scan_rollout(model, schema: ChannelSchema, n_steps: int,
                 x_next = jnp.concatenate([x[:, 1:], new_frame], axis=1)
             else:
                 x_next = new_frame
+            # keep the carry dtype stable (bf16 models emit bf16 frames;
+            # feed a bf16 x0 to run the whole carry at half width)
+            x_next = x_next.astype(x.dtype)
             stats = jnp.mean(y_pred, axis=(0, 1, 2, 3))  # (C,)
             return x_next, stats
 

@@ -339,8 +339,16 @@ class Trainer:
         # train_one_epoch; here they compile into the jitted step)
         from credit_tpu.preblock import build_preblocks
 
-        pre_ic = build_preblocks(conf, schema, normalizer, phase="ic_only")
-        pre_step = build_preblocks(conf, schema, normalizer, phase="per_step")
+        try:
+            from credit_tpu.grid import grid_from_conf
+
+            _grid = grid_from_conf(conf)
+        except Exception:
+            _grid = None
+        pre_ic = build_preblocks(conf, schema, normalizer, phase="ic_only",
+                                 grid=_grid)
+        pre_step = build_preblocks(conf, schema, normalizer, phase="per_step",
+                                   grid=_grid)
         post = self._build_train_postblocks()
         self.train_postblocks = post
         self.metrics_fn = None
