@@ -139,6 +139,7 @@ def build_source_dataset(dtype: str, schema, src: dict, dconf: dict,
     """Instantiate one source dataset (reference: gen_2 _SOURCE_REGISTRY
     routing, multi_source.py:99 route_to_dataset_class)."""
     from credit_tpu.data import era5 as _era5  # noqa: F401 (registration)
+    from credit_tpu.data import obs as _obs  # noqa: F401
     from credit_tpu.data import tisr as _tisr  # noqa: F401
 
     cls = registry.get("dataset", dtype)

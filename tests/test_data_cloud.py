@@ -244,3 +244,50 @@ def test_tisr_computed_source():
     assert np.all(x >= 0) and x.max() > 0  # summer sun somewhere
     # 6h accumulation in J/m^2: bounded by TSI * 6h
     assert x.max() < 1361.0 * 6 * 3600
+
+
+def test_hrrr_and_mrms_sources(tmp_path):
+    """HRRR (3-D levels) and MRMS (2-D) on mocked stores through the shared
+    clocked-zarr base (reference: gen_2/hrrr.py:677, mrms.py:76)."""
+    from credit_tpu.data.obs import HRRRDataset, MRMSDataset
+
+    rng = np.random.default_rng(3)
+    root = str(tmp_path / "hrrr")
+    write_array(root, "time", np.arange(12, dtype=np.int64),
+                attrs={"units": "hours since 2022-06-01"})
+    write_array(root, "level", np.array([1.0, 5.0, 10.0]))
+    write_array(root, "TMP", rng.normal(280, 10, (12, 3, 6, 9)).astype(np.float32))
+    write_array(root, "REFC", rng.uniform(0, 60, (12, 6, 9)).astype(np.float32))
+    conf = {"data": {
+        "source": {"HRRR": {
+            "dataset_type": "hrrr", "store_path": root,
+            "levels": [1.0, 10.0],
+            "variables": {"prognostic": {"vars_3D": ["TMP"],
+                                         "vars_2D": ["REFC"]}},
+        }},
+        "start_datetime": "2022-06-01T01:00:00",
+        "end_datetime": "2022-06-01T10:00:00", "timestep": "1h",
+    }}
+    schema = ChannelSchema.from_config(conf)
+    ds = HRRRDataset(schema, conf["data"]["source"]["HRRR"], conf["data"],
+                     source_name="HRRR")
+    x = ds.input_at(ds.index_of("2022-06-01T03:00:00"))
+    assert x.shape == (1, 6, 9, 3)  # 2 levels + REFC
+
+    root2 = str(tmp_path / "mrms")
+    write_array(root2, "time", np.arange(12, dtype=np.int64),
+                attrs={"units": "hours since 2022-06-01"})
+    write_array(root2, "precip_rate",
+                rng.uniform(0, 20, (12, 6, 9)).astype(np.float32))
+    conf2 = {"data": {
+        "source": {"MRMS": {"dataset_type": "mrms", "store_path": root2,
+                            "variables": {"diagnostic":
+                                          {"vars_2D": ["precip_rate"]}}}},
+        "start_datetime": "2022-06-01T01:00:00",
+        "end_datetime": "2022-06-01T10:00:00", "timestep": "1h",
+    }}
+    schema2 = ChannelSchema.from_config(conf2)
+    ds2 = MRMSDataset(schema2, conf2["data"]["source"]["MRMS"],
+                      conf2["data"], source_name="MRMS")
+    y = ds2.target_at(3)
+    assert y.shape == (1, 6, 9, 1)
