@@ -112,9 +112,15 @@ def run_bench(flagship: bool, bf16: bool):
     jax.block_until_ready(variables)
     log(f"[{tag}] init: {time.time() - t0:.1f}s")
     t0 = time.time()
-    from credit_tpu.models.spectral_utils import converge_spectral
+    from credit_tpu.models.spectral_utils import (converge_spectral,
+                                                  converge_spectral_device)
 
-    variables = converge_spectral(variables)  # f32, host-side
+    if dev.platform == "tpu":
+        # on-device converge: one jitted dispatch instead of streaming the
+        # full param tree over the tunnel (minutes for 124M params)
+        variables = converge_spectral_device(variables)
+    else:
+        variables = converge_spectral(variables)  # f32, host-side
     if bf16:
         # cast params ONCE — each rollout step then reads half the HBM
         # bytes for weights (the dominant traffic at batch 1)

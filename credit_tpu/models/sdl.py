@@ -26,7 +26,15 @@ from credit_tpu.ops.upsample import bilinear_resize
 
 
 class StochasticDecompositionLayer(nn.Module):
-    """feature + pixel_noise * style(latent) * modulation."""
+    """feature + pixel_noise * style(latent) * modulation.
+
+    noise_factor is a PARAMETER (reference: stochastic_decomposition_layer
+    keeps layer.noise_factor as tensor state the SDLWrapper rewrites), so
+    the SDL inference wrapper can retune it per layer without retracing.
+    Latent control: the raw pixel noise can be captured (sown into the
+    'captured' collection) and replayed/interpolated by passing a 'latents'
+    collection — exact-reproduction + smooth ensemble exploration
+    (reference: sdl_inference_wrapper.py:162-324)."""
 
     noise_dim: int
     noise_factor: float = 0.1
@@ -38,9 +46,15 @@ class StochasticDecompositionLayer(nn.Module):
         style = nn.Dense(c, dtype=self.dtype, name="noise_transform")(latent)
         style = style.reshape(feature.shape[0], *([1] * (feature.ndim - 2)), c)
         modulation = self.param("modulation", nn.initializers.ones_init(), (c,))
-        pixel = self.noise_factor * jax.random.normal(
-            self.make_rng("noise"), feature.shape, feature.dtype)
-        return feature + pixel * style * modulation
+        factor = self.param("noise_factor",
+                            nn.initializers.constant(self.noise_factor), ())
+        if self.has_variable("latents", "pixel"):
+            pixel = self.get_variable("latents", "pixel")
+        else:
+            pixel = jax.random.normal(self.make_rng("noise"), feature.shape,
+                                      self.dtype)
+        self.sow("captured", "pixel", pixel)
+        return feature + factor * pixel * style * modulation
 
 
 @registry.register("model", "crossformer-ensemble")

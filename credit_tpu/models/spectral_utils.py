@@ -56,6 +56,45 @@ def converge_spectral(variables: Dict[str, Any], n_iter: int = 30) -> Dict[str, 
     return out
 
 
+def converge_spectral_device(variables: Dict[str, Any], n_iter: int = 30
+                             ) -> Dict[str, Any]:
+    """On-device converge: one jitted tree of unrolled power iterations —
+    no host round-trip (the host path device_gets the FULL param tree,
+    which over a remote-TPU tunnel costs minutes for a 124M-param model).
+    Same math as converge_spectral; use on real accelerators."""
+    if "spectral" not in variables:
+        return variables
+    import jax.numpy as jnp
+
+    def one_layer(spec, prm):
+        if isinstance(spec, dict) and "u" in spec and "v" in spec \
+                and "kernel" in prm:
+            k = prm["kernel"].astype(jnp.float32)
+            w2d = k.reshape(-1, k.shape[-1]).T  # (O, rest)
+
+            def l2(x):
+                return x / (jnp.linalg.norm(x) + 1e-12)
+
+            u, v = spec["u"].astype(jnp.float32), spec["v"].astype(jnp.float32)
+            for _ in range(n_iter):
+                v = l2(w2d.T @ u)
+                u = l2(w2d @ v)
+            return {**spec, "u": u, "v": v}
+        if isinstance(spec, dict):
+            return {key: one_layer(sub, prm.get(key, {}))
+                    if isinstance(sub, dict) else sub
+                    for key, sub in spec.items()}
+        return spec
+
+    @jax.jit
+    def run(params, spectral):
+        return one_layer(spectral, params)
+
+    out = dict(variables)
+    out["spectral"] = run(variables["params"], variables["spectral"])
+    return out
+
+
 def spectral_sigmas(variables: Dict[str, Any]) -> Dict[str, float]:
     """Diagnostic: map of flattened layer path -> current sigma estimate."""
     out = {}

@@ -670,7 +670,20 @@ class Trainer:
 
 def load_trainer(conf: dict):
     """Registry dispatch (reference: credit/trainers/__init__.py:81)."""
+    from credit_tpu.trainers import diffusion as _dt  # noqa: F401 (registration)
+    from credit_tpu.trainers import ic_optimization as _ic  # noqa: F401
+
     ttype = conf.get("trainer", {}).get("type", "era5-v2")
-    # normalize gen1-era keys to the gen2 trainer
-    aliases = {"era5-gen1": "era5", "era5-v2": "era5-v2", "era5": "era5"}
-    return registry.get("trainer", aliases.get(ttype, "era5-v2"))
+    # gen1-era and domain trainer names collapse onto the gen2 trainer (their
+    # deltas are config-driven here: ensemble_size, backprop_on_timestep,
+    # regional models); diffusion keeps its own step functions
+    aliases = {"era5-gen1": "era5", "era5-ensemble": "era5-v2",
+               "era5-ensemble-v2": "era5-v2", "universal": "era5-v2",
+               "les": "era5-v2", "wrf": "era5-v2", "samudra": "era5-v2",
+               "era5-ic-opt": "ic-opt"}
+    name = aliases.get(ttype, ttype)
+    try:
+        return registry.get("trainer", name)
+    except KeyError:
+        logger.warning("unknown trainer type %r; using era5-v2", ttype)
+        return registry.get("trainer", "era5-v2")

@@ -76,3 +76,50 @@ def test_objectives_roundtrip():
         x0, eps = gd._to_x0_eps(y_t, t, pred)
         np.testing.assert_allclose(np.asarray(x0), np.asarray(y0), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(eps), np.asarray(noise), rtol=1e-4, atol=1e-5)
+
+
+def test_diffusion_trainer_end_to_end(tmp_path):
+    """era5-diffusion trainer: denoising loss falls over a few epochs and
+    validation samples via DDIM (reference: trainerERA5_Diffusion)."""
+    import csv
+    import os
+
+    from credit_tpu.data.channels import ChannelSchema
+    from credit_tpu.data.synthetic import SyntheticDataset
+    from credit_tpu.grid import Grid
+    from credit_tpu.losses import WeightedLoss
+    from credit_tpu.models import load_model
+    from credit_tpu.trainers.trainer import load_trainer
+
+    conf = {
+        "save_loc": str(tmp_path),
+        "data": {"source": {"ERA5": {
+            "levels": [0.0, 1.0],
+            "variables": {"prognostic": {"vars_3D": ["T"], "vars_2D": ["SP"]}},
+        }}, "history_len": 1, "forecast_len": 1},
+        "trainer": {"type": "era5-diffusion", "learning_rate": 2e-3,
+                    "train_batch_size": 2, "valid_batch_size": 2,
+                    "batches_per_epoch": 6, "valid_batches_per_epoch": 1,
+                    "num_epoch": 2, "preflight": False},
+        "diffusion": {"timesteps": 50, "sampling_timesteps": 4},
+        "model": {"type": "unet-diffusion", "image_height": 16,
+                  "image_width": 32, "levels": 2, "channels": 1,
+                  "surface_channels": 1, "input_only_channels": 0,
+                  "output_only_channels": 0, "frames": 1, "output_frames": 1,
+                  "dim": 16, "dim_mults": [1, 2]},
+        "loss": {"training_loss": "mse"},
+    }
+    schema = ChannelSchema.from_config(conf)
+    grid = Grid.regular(16, 32, levels=[0.0, 1.0])
+    ds = SyntheticDataset(schema, grid, history_len=1, n_times=30, seed=3)
+    model = load_model(conf)
+    loss = WeightedLoss.from_config(conf, grid)
+    cls = load_trainer(conf)
+    assert cls.__name__ == "DiffusionTrainer"
+    trainer = cls(conf, model, loss, loss, schema, ds, save_loc=str(tmp_path))
+    trainer.fit(seed=0)
+    with open(os.path.join(str(tmp_path), "training_log.csv")) as f:
+        rows = list(csv.DictReader(f))
+    losses = [float(r["train_loss"]) for r in rows]
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
