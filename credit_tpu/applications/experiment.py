@@ -129,16 +129,37 @@ def run_rollout(conf: dict, n_steps: Optional[int] = None,
         x_ic = jnp.asarray(dataset.input_at(t0)[None])
         members = [("", x_ic)]
         if ens > 1:
-            # gaussian IC perturbations (reference ensemble rollout: noise /
-            # bred-vector ICs; members get their own output dirs _eNN)
-            from credit_tpu.ensemble.noise import GaussianNoise
+            # IC perturbations (reference ensemble rollout: gaussian noise or
+            # bred vectors; members get their own output dirs _eNN)
+            base_key = jax.random.fold_in(
+                jax.random.PRNGKey(int(pconf.get("seed", 0))), t0)
+            if pconf.get("perturbation", "gaussian") == "bred":
+                from credit_tpu.ensemble.bred_vector import generate_bred_vectors
 
-            g = GaussianNoise(noise_std)
-            members = [("", x_ic)] + [
-                (f"_e{m:02d}",
-                 g(jax.random.fold_in(jax.random.PRNGKey(
-                     int(pconf.get("seed", 0))), t0 * 1000 + m), x_ic))
-                for m in range(1, ens)]
+                # breeding needs a PURE step (it runs inside lax.scan):
+                # use the engine's jitted step with a fixed key/state
+                _bred_states = engine._init_states(engine.postblocks,
+                                                   x_ic.shape[0])
+                _bred_key = jax.random.PRNGKey(0)
+
+                def step_fn(x):
+                    _, x2, _ = engine._step_nofrc(engine.variables, x,
+                                                  _bred_states, _bred_key)
+                    return x2
+
+                ics = generate_bred_vectors(
+                    step_fn, x_ic, base_key, ens - 1,
+                    amplitude=noise_std,
+                    n_cycles=int(pconf.get("bred_cycles", 3)))
+                members = [("", x_ic)] + [
+                    (f"_e{m + 1:02d}", ic) for m, ic in enumerate(ics)]
+            else:
+                from credit_tpu.ensemble.noise import GaussianNoise
+
+                g = GaussianNoise(noise_std)
+                members = [("", x_ic)] + [
+                    (f"_e{m:02d}", g(jax.random.fold_in(base_key, m), x_ic))
+                    for m in range(1, ens)]
         for suffix, x0 in members:
             init_label = f"{label}{suffix}"
 

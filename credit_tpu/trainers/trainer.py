@@ -626,7 +626,7 @@ class Trainer:
 
         path = os.path.abspath(os.path.join(self.save_loc, tag))
         if is_primary() and tag == "checkpoint" and os.path.exists(path) and \
-                self.conf.get("trainer", {}).get("save_backup_weights"):
+                self.conf.get("trainer", {}).get("save_backup_weights", True):
             backup = os.path.abspath(os.path.join(self.save_loc, "backup_checkpoint"))
             shutil.rmtree(backup, ignore_errors=True)
             shutil.copytree(path, backup)

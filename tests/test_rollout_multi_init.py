@@ -78,3 +78,24 @@ def test_multi_init_ensemble_rollout_layout(tmp_path):
     b = open_dataset(str(out / "init0001_e01" / "pred_init0001_e01_006.nc"))
     v = next(iter(a.keys()))
     assert not np.allclose(np.asarray(a[v].values), np.asarray(b[v].values))
+
+
+def test_bred_vector_members(tmp_path):
+    conf = {**CONF, "save_loc": str(tmp_path / "ckpt"),
+            "predict": {"forecast_steps": 1, "ensemble_size": 3,
+                        "perturbation": "bred", "perturbation_std": 0.05,
+                        "bred_cycles": 2,
+                        "save_forecast": str(tmp_path / "out")}}
+    written = run_rollout(conf)
+    dirs = sorted(os.listdir(tmp_path / "out"))
+    assert dirs == ["init0001", "init0001_e01", "init0001_e02"]
+    from credit_tpu.utils.ncio import open_dataset
+
+    arrs = []
+    for d in dirs:
+        ds = open_dataset(str(tmp_path / "out" / d / f"pred_{d}_006.nc"))
+        v = next(iter(ds.keys()))
+        arrs.append(np.asarray(ds[v].values))
+    # bred pair: members differ from control and (mirrored) from each other
+    assert not np.allclose(arrs[0], arrs[1])
+    assert not np.allclose(arrs[1], arrs[2])
