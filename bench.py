@@ -95,6 +95,10 @@ def run_bench(flagship: bool, bf16: bool):
     }
     schema = ChannelSchema.from_config(conf)
     model = load_model(conf)
+    # inference model: spectral norm FOLDED into the kernels (sigma math is
+    # loop-invariant overhead in the scan; see spectral_utils.fold_spectral)
+    run_model = load_model({**conf, "model": {**conf["model"],
+                                              "use_spectral_norm": False}})
     assert schema.n_input == model.base_input_channels, (
         schema.n_input, model.base_input_channels)
 
@@ -115,21 +119,21 @@ def run_bench(flagship: bool, bf16: bool):
     from credit_tpu.models.spectral_utils import (converge_spectral,
                                                   converge_spectral_device)
 
+    from credit_tpu.models.spectral_utils import fold_spectral
+
     if dev.platform == "tpu":
         # on-device converge: one jitted dispatch instead of streaming the
         # full param tree over the tunnel (minutes for 124M params)
         variables = converge_spectral_device(variables)
     else:
         variables = converge_spectral(variables)  # f32, host-side
+    variables = fold_spectral(variables)  # kernels <- kernels/sigma, f32
     if bf16:
         # cast params ONCE — each rollout step then reads half the HBM
         # bytes for weights (the dominant traffic at batch 1)
-        variables = {
-            "params": jax.tree_util.tree_map(
-                lambda p: p.astype(jnp.bfloat16)
-                if p.dtype == jnp.float32 else p, variables["params"]),
-            "spectral": variables.get("spectral", {}),
-        }
+        variables = {"params": jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, variables["params"])}
     variables = jax.device_put(variables)
     log(f"[{tag}] spectral converge + cast: {time.time() - t0:.1f}s")
 
@@ -138,7 +142,7 @@ def run_bench(flagship: bool, bf16: bool):
     # an N-step and a 2N-step rollout (each ending in a scalar fetch) and
     # difference them, cancelling constant dispatch+transfer overhead.
     def build(n):
-        run = make_scan_rollout(model, schema, n, history_len=1,
+        run = make_scan_rollout(run_model, schema, n, history_len=1,
                                 with_forcing=False)
 
         def run_scalar(variables, x0):
@@ -151,15 +155,21 @@ def run_bench(flagship: bool, bf16: bool):
     r2N = build(2 * n_steps)
 
     # modeled MFU / roofline from the compiled executable, when available
+    # (AOT-compile once and EXECUTE the same executable — .lower().compile()
+    # does not populate the jit cache, so calling rN() again would recompile)
     flops = bytes_acc = None
     try:
-        compiled = rN.lower(variables, x0).compile()
-        ca = compiled.cost_analysis()
+        t0 = time.time()
+        cN = rN.lower(variables, x0).compile()
+        c2N = r2N.lower(variables, x0).compile()
+        log(f"[{tag}] AOT compile N+2N: {time.time() - t0:.1f}s")
+        rN, r2N = cN, c2N
+        ca = cN.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", 0.0)) or None
         bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
-    except Exception as e:  # tunnel/backend may not expose cost analysis
-        log(f"[{tag}] cost_analysis unavailable: {e}")
+    except Exception as e:  # tunnel/backend may not expose AOT/cost analysis
+        log(f"[{tag}] AOT/cost_analysis unavailable: {e}")
 
     t0 = time.time()
     sN = float(rN(variables, x0))

@@ -95,6 +95,42 @@ def converge_spectral_device(variables: Dict[str, Any], n_iter: int = 30
     return out
 
 
+def fold_spectral(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Inference-time fold: kernel <- kernel / sigma(u, v), then DROP the
+    spectral collection. Apply the model with use_spectral_norm=False
+    afterwards — eliminates the per-layer sigma computation (reshape, two
+    matvecs, divide) from every rollout step, which is pure loop-invariant
+    overhead in a latency-bound autoregressive scan. Run converge_spectral
+    (or _device) first so sigma is the true spectral norm. One jitted
+    dispatch; no host round-trip."""
+    if "spectral" not in variables:
+        return variables
+    import jax.numpy as jnp
+
+    def walk(spec, prm):
+        if isinstance(spec, dict) and "u" in spec and "v" in spec \
+                and "kernel" in prm:
+            k = prm["kernel"]
+            w2d = k.astype(jnp.float32).reshape(-1, k.shape[-1]).T
+            sigma = jnp.dot(spec["u"].astype(jnp.float32),
+                            w2d @ spec["v"].astype(jnp.float32))
+            return {**prm, "kernel": (k.astype(jnp.float32) / sigma
+                                      ).astype(k.dtype)}
+        if isinstance(spec, dict) and isinstance(prm, dict):
+            return {key: walk(spec[key], sub) if key in spec
+                    and isinstance(sub, dict) else sub
+                    for key, sub in prm.items()}
+        return prm
+
+    @jax.jit
+    def run(params, spectral):
+        return walk(spectral, params)
+
+    out = {k: v for k, v in variables.items() if k != "spectral"}
+    out["params"] = run(variables["params"], variables["spectral"])
+    return out
+
+
 def spectral_sigmas(variables: Dict[str, Any]) -> Dict[str, float]:
     """Diagnostic: map of flattened layer path -> current sigma estimate."""
     out = {}

@@ -33,7 +33,23 @@ class RolloutEngine:
     def __init__(self, model, variables: Dict[str, Any], schema: ChannelSchema,
                  normalizer: Optional[Normalizer] = None, history_len: int = 1,
                  postblocks: Optional[Sequence[Callable]] = None,
-                 use_ema: bool = False):
+                 use_ema: bool = False, fold_sn: bool = True):
+        # inference fold: divide kernels by their converged sigma once and
+        # drop the spectral collection — the per-step sigma math is pure
+        # loop-invariant latency in an autoregressive rollout
+        if fold_sn and "spectral" in variables and variables["spectral"] \
+                and getattr(model, "use_spectral_norm", False):
+            from credit_tpu.models.spectral_utils import fold_spectral
+
+            src = {"params": (variables.get("ema_params")
+                              if use_ema and variables.get("ema_params")
+                              is not None else variables["params"]),
+                   "spectral": variables["spectral"]}
+            variables = {**variables, **fold_spectral(src), "spectral": {}}
+            if use_ema:
+                variables.pop("ema_params", None)
+                use_ema = False  # already selected above
+            model = model.clone(use_spectral_norm=False)
         self.model = model
         self.schema = schema
         self.normalizer = normalizer

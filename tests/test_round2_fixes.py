@@ -209,3 +209,65 @@ def test_batch_dp_mismatch_is_loud(tmp_path):
     loss = WeightedLoss.from_config(conf, grid)
     with pytest.raises(ValueError, match="not divisible"):
         Trainer(conf, model, loss, loss, schema, dataset, save_loc=str(tmp_path))
+
+
+def test_fold_spectral_matches_sn_forward():
+    """Inference fold: model with SN == model without SN on folded kernels
+    (the rollout-latency lever: sigma math leaves the per-step graph)."""
+    import jax.numpy as jnp
+
+    from credit_tpu.models import load_model
+    from credit_tpu.models.spectral_utils import (converge_spectral,
+                                                  fold_spectral)
+
+    base = dict(type="crossformer", frames=1, output_frames=1,
+                image_height=32, image_width=64, levels=2, channels=2,
+                surface_channels=1, input_only_channels=0,
+                output_only_channels=0, dim=[16, 32, 64, 128],
+                depth=[1, 1, 1, 1], global_window_size=[2, 2, 2, 1],
+                local_window_size=2, dim_head=8,
+                cross_embed_kernel_sizes=[[2, 4], [2, 2], [2, 2], [2, 2]],
+                cross_embed_strides=[2, 2, 2, 2], interp=True)
+    m_sn = load_model({"model": {**base, "use_spectral_norm": True}})
+    m_plain = load_model({"model": {**base, "use_spectral_norm": False}})
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 32, 64, 5))
+    v = jax.jit(m_sn.init)(jax.random.PRNGKey(0), x)
+    v = converge_spectral(v)
+    y_sn = m_sn.apply(v, x)
+    folded = fold_spectral(v)
+    assert "spectral" not in folded
+    y_fold = m_plain.apply(folded, x)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_sn),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_rollout_engine_fold_parity():
+    """RolloutEngine(fold_sn=True) reproduces the unfolded engine."""
+    from credit_tpu.models import load_model
+    from credit_tpu.models.spectral_utils import converge_spectral
+    from credit_tpu.rollout import RolloutEngine
+
+    conf = {"data": {"source": {"ERA5": {
+        "levels": [0.0, 1.0],
+        "variables": {"prognostic": {"vars_3D": ["T"], "vars_2D": ["SP"]}},
+    }}}}
+    schema = ChannelSchema.from_config(conf)
+    model = load_model({"model": dict(
+        type="crossformer", frames=1, output_frames=1, image_height=32,
+        image_width=64, levels=2, channels=1, surface_channels=1,
+        input_only_channels=0, output_only_channels=0,
+        dim=[16, 32, 64, 128], depth=[1, 1, 1, 1],
+        global_window_size=[2, 2, 2, 1], local_window_size=2, dim_head=8,
+        cross_embed_kernel_sizes=[[2, 4], [2, 2], [2, 2], [2, 2]],
+        cross_embed_strides=[2, 2, 2, 2], use_spectral_norm=True,
+        interp=True)})
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 32, 64, 3))
+    v = converge_spectral(jax.jit(model.init)(jax.random.PRNGKey(0), x0))
+    e1 = RolloutEngine(model, v, schema, fold_sn=False)
+    e2 = RolloutEngine(model, v, schema, fold_sn=True)
+    assert e2.model.use_spectral_norm is False
+    y1 = e1.run(x0, 2)
+    y2 = e2.run(x0, 2)
+    for a, b in zip(y1, y2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
