@@ -324,6 +324,9 @@ class Trainer:
             if dp * tp * dom > 1:
                 self.mesh = build_mesh(dp, tp, dom)
                 logger.info("mesh: dp=%d tensor=%d domain=%d", dp, tp, dom)
+                from credit_tpu.parallel.validate import assert_valid_sharding
+
+                assert_valid_sharding(conf, schema, self.mesh, model)
         self.dp = dp
 
         from credit_tpu.trainers.scheduler import load_scheduler

@@ -131,3 +131,28 @@ def test_ring_crps_gradients_match_dense(rng):
     g_dense = jax.grad(lambda m: dense_fair_crps(m, target))(members)
     np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_dense),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharding_validator():
+    """Aggregated pre-compile divisibility errors (reference: the parallel
+    conversion/validation helpers)."""
+    from credit_tpu.parallel.mesh import build_mesh
+    from credit_tpu.parallel.validate import assert_valid_sharding, validate_sharding
+
+    mesh = build_mesh(2, 2, 2)
+    conf = {
+        "trainer": {"train_batch_size": 3, "valid_batch_size": 4},
+        "model": {"image_height": 181, "num_heads": 3, "dim": [32, 48],
+                  "padding_conf": {"activate": True, "pad_lat": [1, 1]}},
+    }
+    probs = validate_sharding(conf, mesh=mesh)
+    text = "\n".join(probs)
+    assert "train_batch_size=3" in text
+    assert "image_height=183" in text       # padded height checked
+    assert "num_heads=3" in text
+    with pytest.raises(ValueError, match="invalid parallelism"):
+        assert_valid_sharding(conf, mesh=mesh)
+
+    ok = {"trainer": {"train_batch_size": 4},
+          "model": {"image_height": 180, "num_heads": 4, "dim": [32, 64]}}
+    assert validate_sharding(ok, mesh=mesh) == []
