@@ -18,7 +18,8 @@ once (after spectral-norm convergence in f32) so each step reads half the
 HBM bytes; pass --fp32 to compare. MFU and HBM-roofline figures come from
 the compiled executable's cost analysis when the backend exposes it.
 
-Flags: --1deg / --025 run a single benchmark; default runs both.
+Flags: --025 (default): the 0.25-deg flagship only. --1deg: the 1-deg
+serve benchmark only. --all: both (1-deg first, flagship last).
 """
 
 from __future__ import annotations
@@ -226,11 +227,11 @@ def run_bench(flagship: bool, bf16: bool):
 
 def main():
     bf16 = "--fp32" not in sys.argv
+    both = "--all" in sys.argv
     only_1deg = "--1deg" in sys.argv
-    only_025 = "--025" in sys.argv
-    if not only_025:
+    if both or only_1deg:
         run_bench(flagship=False, bf16=bf16)
-    if not only_1deg:
+    if both or not only_1deg:
         run_bench(flagship=True, bf16=bf16)
 
 

@@ -76,6 +76,16 @@ def benchmark_parallelism(conf: dict,
                 step=jax.device_put(state.step, rep))
             batch = {"x": jax.device_put(x, bshard), "y": jax.device_put(y, bshard)}
             step_fn = jax.jit(make_train_step(model, loss_fn, optimizer, schema, 1))
+            # modeled FLOPs/bytes for MFU + roofline columns (best-effort)
+            flops = bytes_acc = None
+            try:
+                ca = step_fn.lower(state, batch, jax.random.PRNGKey(1)
+                                   ).compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops = float(ca.get("flops", 0.0)) or None
+                bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
+            except Exception:
+                pass
             rng = jax.random.PRNGKey(1)
             t0 = time.time()
             for _ in range(warmup):
@@ -96,6 +106,13 @@ def benchmark_parallelism(conf: dict,
             "compile_s": round(compile_s, 1),
             "loss": round(loss, 5),
         }
+        if flops:
+            # v5e bf16 peak per chip; fp32 halves it — report the bf16 frame
+            row["modeled_mfu_pct"] = round(
+                100 * flops / dt / n_chips / 197e12, 2)
+        if bytes_acc:
+            row["hbm_roofline_pct"] = round(
+                100 * bytes_acc / dt / n_chips / 819e9, 1)
         rows.append(row)
         logger.info("bench %s", row)
     if rows:
