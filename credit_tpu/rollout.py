@@ -170,7 +170,8 @@ def rk4_step(apply_fn, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_scan_rollout(model, schema: ChannelSchema, n_steps: int,
-                      history_len: int = 1, with_forcing: bool = False):
+                      history_len: int = 1, with_forcing: bool = False,
+                      unroll: int = 1):
     """Fully on-device N-step rollout as one lax.scan — a single dispatch,
     no host round-trips between steps (the BASELINE.json north-star
     requirement). Returns (final_x, per-step per-channel means) so the
@@ -194,10 +195,11 @@ def make_scan_rollout(model, schema: ChannelSchema, n_steps: int,
             return x_next, stats
 
         if with_forcing:
-            final_x, stats = jax.lax.scan(body, x0, forcings, length=n_steps)
+            final_x, stats = jax.lax.scan(body, x0, forcings, length=n_steps,
+                                          unroll=unroll)
         else:
             final_x, stats = jax.lax.scan(lambda x, _: body(x, None), x0,
-                                          None, length=n_steps)
+                                          None, length=n_steps, unroll=unroll)
         return final_x, stats
 
     return run

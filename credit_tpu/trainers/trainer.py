@@ -234,7 +234,7 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
 
 def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
                    forecast_len: int = 1, history_len: int = 1,
-                   normalizer=None, ensemble_size: int = 1):
+                   normalizer=None, ensemble_size: int = 1, metrics_fn=None):
     def eval_step(state: TrainState, batch):
         if normalizer is not None:
             batch = dict(batch,
@@ -247,6 +247,7 @@ def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
         if isinstance(params, dict) and "_postblocks" in params:
             params = {k: v for k, v in params.items() if k != "_postblocks"}
         total = 0.0
+        var_metrics = {}
         for s in range(forecast_len):
             y_t = batch["y"][:, s][:, None]
             x_in = jnp.repeat(x, ensemble_size, axis=0) if ensemble_size > 1 else x
@@ -259,12 +260,15 @@ def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
                 y_pred = y_e.mean(axis=1)
             else:
                 total = total + loss_fn(y_t, y_pred)
+            if metrics_fn is not None:
+                for k, v in metrics_fn(y_t, y_pred).items():
+                    var_metrics[k] = var_metrics.get(k, 0.0) + v / forecast_len
             if s + 1 < forecast_len:
                 forcing = batch.get("forcing")
                 f_next = None if forcing is None else forcing[:, s + 1][:, None]
                 new_frame = schema.update_x(x[:, -1:], y_pred[:, -1:], f_next)
                 x = jnp.concatenate([x[:, 1:], new_frame], axis=1) if history_len > 1 else new_frame
-        return {"loss": total / forecast_len}
+        return {"loss": total / forecast_len, **var_metrics}
 
     return eval_step
 
@@ -377,7 +381,8 @@ class Trainer:
                     if getattr(valid_loss_fn, "is_ensemble", False) else 1)
         self._eval_step = jax.jit(make_eval_step(
             model, valid_loss_fn, schema, self.forecast_len, self.history_len,
-            normalizer=normalizer, ensemble_size=eval_ens))
+            normalizer=normalizer, ensemble_size=eval_ens,
+            metrics_fn=self.metrics_fn))
 
     # optuna pruning hook (reference: base_trainer.py trial.report/should_prune)
     optuna_trial = None
@@ -579,6 +584,7 @@ class Trainer:
             # the full metrics dict to training_log.csv)
             var_cols = sorted(k for k in acc_h if k not in
                               ("loss", "grad_norm", "finite"))
+            vvar_cols = sorted(k for k in vacc_h if k != "loss")
             from credit_tpu.parallel.distributed import is_primary
 
             write_header = not os.path.exists(log_path)
@@ -588,11 +594,13 @@ class Trainer:
                     if write_header:
                         wcsv.writerow(["epoch", "train_loss", "valid_loss",
                                        "seconds", "lr", "grad_norm"] +
-                                      [f"train_{k}" for k in var_cols])
+                                      [f"train_{k}" for k in var_cols] +
+                                      [f"valid_{k}" for k in vvar_cols])
                     wcsv.writerow(
                         [epoch, tr, va, dt, float(self.schedule(state.step)),
                          float(acc_h.get("grad_norm", np.nan)) / max(n_tr, 1)] +
-                        [float(acc_h[k]) / max(n_tr, 1) for k in var_cols])
+                        [float(acc_h[k]) / max(n_tr, 1) for k in var_cols] +
+                        [float(vacc_h[k]) / max(n_va, 1) for k in vvar_cols])
             if tb is not None:
                 tb.add_scalar("loss/train", tr, epoch)
                 tb.add_scalar("loss/valid", va, epoch)
