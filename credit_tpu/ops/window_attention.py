@@ -103,7 +103,14 @@ def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     sim = jnp.einsum("bnihd,bnjhd->bnhij", q * scale, k,
                      preferred_element_type=softmax_dtype)
     sim = sim + bias.astype(sim.dtype)
-    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    if v.dtype == jnp.bfloat16:
+        # bf16 models: MATERIALIZE the (nWin, T, T) score tensor at half
+        # width (the MXU already accumulated in f32; softmax upcasts inside
+        # its fusion) — the score tensor dominates attention HBM traffic
+        sim = sim.astype(jnp.bfloat16)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
+    else:
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     acc = jnp.float32 if v.dtype == jnp.float32 else v.dtype
     out = jnp.einsum("bnhij,bnjhd->bnihd", attn, v,
                      preferred_element_type=acc).astype(v.dtype)

@@ -47,12 +47,18 @@ def make_xarray(flat: np.ndarray, schema: ChannelSchema, grid: Grid,
               "time": np.arange(flat.shape[0], dtype=np.float64)}
     if grid.levels is not None:
         coords["level"] = grid.levels
+    from credit_tpu.metadata import variable_attrs
+    from credit_tpu.utils.ncio import Variable
+
     data_vars = {}
     for name, arr in fields.items():
+        # CF attributes per variable (reference: credit/metadata/era5.yaml
+        # applied by output.py when writing forecasts)
+        va = variable_attrs(name)
         if arr.ndim == 4:  # (T, lev, lat, lon)
-            data_vars[name] = (("time", "level", "lat", "lon"), arr)
+            data_vars[name] = Variable(("time", "level", "lat", "lon"), arr, va)
         else:  # (T, lat, lon)
-            data_vars[name] = (("time", "lat", "lon"), arr)
+            data_vars[name] = Variable(("time", "lat", "lon"), arr, va)
     attrs = {}
     if init_time is not None:
         attrs["initialization_time"] = str(init_time)

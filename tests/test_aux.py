@@ -116,3 +116,61 @@ def test_preflight_estimates():
     out = estimate_batch_ram(ds, batch_size=4)
     assert out["batch_gb"] > 0
     assert first_batch_watchdog(lambda: 42, timeout_s=5) == 42
+
+
+def test_netcdf_variable_metadata(tmp_path):
+    """CF attrs from the metadata registry land in the written files
+    (reference: credit/metadata/era5.yaml applied by output.py)."""
+    import numpy as np
+
+    from credit_tpu.data.channels import ChannelSchema
+    from credit_tpu.grid import Grid
+    from credit_tpu.metadata import variable_attrs
+    from credit_tpu.output import save_netcdf_increment
+    from credit_tpu.utils.ncio import open_dataset
+
+    assert variable_attrs("T_L3")["units"] == "K"
+    assert variable_attrs("unknown_var") == {}
+    assert variable_attrs("T", {"metadata": {"T": {"units": "degC"}}})[
+        "units"] == "degC"
+
+    conf = {"data": {"source": {"ERA5": {
+        "levels": [0.0, 1.0],
+        "variables": {"prognostic": {"vars_3D": ["T"], "vars_2D": ["SP"]}},
+    }}}}
+    schema = ChannelSchema.from_config(conf)
+    grid = Grid.regular(4, 8, levels=[0.0, 1.0])
+    flat = np.zeros((1, 4, 8, schema.n_target), np.float32)
+    p = save_netcdf_increment(flat, schema, grid, str(tmp_path), "init", 6)
+    ds = open_dataset(p)
+    attrs = ds["SP"].attrs
+    assert attrs.get("units") in ("Pa", b"Pa")
+
+
+def test_samudra_ocean_utils():
+    """Ocean (Samudra) constants + wet-mask plumbing
+    (reference: credit/ocean/samudra_data.py:17,40)."""
+    import numpy as np
+
+    from credit_tpu.ocean import (DEPTH_I_LEVELS, MASK_VARS, PROG_VARS_MAP,
+                                  depth_index, extract_wet_mask,
+                                  get_inference_steps)
+
+    assert len(DEPTH_I_LEVELS) == 19
+    assert len(PROG_VARS_MAP["thermo"]) == 2 * 19 + 1
+    assert depth_index("thetao_2_5") == 0
+    assert depth_index("so_6000_0") == 18
+    assert depth_index("zos") == 0
+
+    rng = np.random.default_rng(0)
+    masks = {m: (rng.uniform(0, 1, (4, 8)) > 0.3).astype(np.float32)
+             for m in MASK_VARS}
+    outputs = ["thetao_2_5", "thetao_6000_0", "zos"]
+    wet, surf = extract_wet_mask(masks, outputs, hist=1)
+    assert wet.shape == (4, 8, 6)  # 3 channels x (hist+1)
+    np.testing.assert_array_equal(wet[..., 1], masks[MASK_VARS[18]])
+    np.testing.assert_array_equal(surf, masks[MASK_VARS[0]])
+
+    # noleap clock: 2000-01-01..2000-03-01 = 60 days (no Feb 29), delta 5
+    # -> 13 steps, truncated to a multiple of hist+1=2 -> 12
+    assert get_inference_steps("2000-01-01", "2000-03-01", 5, 1) == 12
