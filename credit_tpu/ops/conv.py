@@ -40,15 +40,56 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
     """Conv with torch-style symmetric integer padding.
 
     x: (N, H, W, Cin); kernel: (kh, kw, Cin, Cout).
+
+    Fast path: large even-kernel stride-2 convs (the CrossFormer patch
+    embeds, kernels 8..32) are rewritten as space-to-depth + a stride-1
+    half-kernel conv over 4x the channels. Mathematically identical (taps
+    regroup by phase), but the MXU tiles input channels in lanes of 128:
+    the flagship's 62-channel 16x16-s2 embed measures 14.6 TFLOP/s direct
+    vs ~2x that with 248 deep channels (measured via tunnel micro-bench).
     """
     s = _pair(stride)
-    if isinstance(padding, str):
-        pad = padding
-    else:
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    if not isinstance(padding, str):
         ph, pw = _pair(padding)
+        if (s == (2, 2) and kh % 2 == 0 and kw % 2 == 0 and kh >= 8
+                and (x.shape[1] + 2 * ph) % 2 == 0
+                and (x.shape[2] + 2 * pw) % 2 == 0):
+            return _conv2d_s2d(x, kernel, bias, (ph, pw), accum_dtype)
         pad = ((ph, ph), (pw, pw))
+    else:
+        pad = padding
     out = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=s, padding=pad,
+        dimension_numbers=_DN, preferred_element_type=_accum(x, accum_dtype),
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _conv2d_s2d(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
+    """Even-kernel stride-2 conv as space-to-depth + stride-1 conv.
+
+    With padded input X̃ and i = 2a+r, j = 2b+s (r,s phases):
+      out[y,x] = Σ X̃[2y+i, 2x+j] K[i,j]
+               = Σ_{a,b,r,s} phase_rs[y+a, x+b] K[2a+r, 2b+s]
+    i.e. a VALID stride-1 conv of the 4-phase stack with the half kernel.
+    """
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    ph, pw = pad
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    h2, w2 = (h + 2 * ph) // 2, (w + 2 * pw) // 2
+    # (N, h2, 2, w2, 2, C) -> (N, h2, w2, 2, 2, C) -> channel-stacked phases
+    p = xp.reshape(n, h2, 2, w2, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+    p = p.reshape(n, h2, w2, 4 * cin)
+    # kernel phases: K'[a, b, (r*2+s)*cin + c, o] = K[2a+r, 2b+s, c, o]
+    k2 = kernel.reshape(kh // 2, 2, kw // 2, 2, cin, cout)
+    k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(kh // 2, kw // 2,
+                                                4 * cin, cout)
+    out = lax.conv_general_dilated(
+        p, k2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
         dimension_numbers=_DN, preferred_element_type=_accum(x, accum_dtype),
     ).astype(x.dtype)
     if bias is not None:
