@@ -80,6 +80,19 @@ def _decompress(raw: bytes, compressor: Optional[dict]) -> bytes:
         f"install the codec.")
 
 
+def _index(axes):
+    """Scatter/gather index: plain slices when every axis is a contiguous
+    run (bulk reads — numpy slice assignment is ~70x faster than the
+    advanced-indexing copy np.ix_ triggers), np.ix_ otherwise."""
+    slices = []
+    for a in axes:
+        if len(a) and (len(a) == 1 or (np.diff(a) == 1).all()):
+            slices.append(slice(int(a[0]), int(a[-1]) + 1))
+        else:
+            return np.ix_(*axes)
+    return tuple(slices)
+
+
 class ZarrArray:
     def __init__(self, store: _Store, path: str, meta: dict, attrs: dict):
         self.store = store
@@ -144,22 +157,61 @@ class ZarrArray:
         chunk_ids = [i // c for i, c in zip(idx_per_axis, self.chunks)]
         uniq = [np.unique(c) for c in chunk_ids]
 
-        def fill(ax: int, coords: Tuple[int, ...], out_slices, in_slices):
+        tasks = []  # (coords, out_slices, in_slices)
+
+        def plan(ax: int, coords: Tuple[int, ...], out_slices, in_slices):
             if ax == self.ndim:
-                chunk = self._read_chunk(coords)
-                out[np.ix_(*out_slices)] = chunk[np.ix_(*in_slices)]
+                tasks.append((coords, list(out_slices), list(in_slices)))
                 return
             for cid in uniq[ax]:
                 mask = chunk_ids[ax] == cid
                 opos = np.nonzero(mask)[0]
                 ipos = idx_per_axis[ax][mask] - cid * self.chunks[ax]
-                fill(ax + 1, coords + (int(cid),),
+                plan(ax + 1, coords + (int(cid),),
                      out_slices + [opos], in_slices + [ipos])
 
         if out.size:
-            fill(0, (), [], [])
+            plan(0, (), [], [])
+        chunks = self._read_chunks([t[0] for t in tasks])
+        for chunk, (_, out_slices, in_slices) in zip(chunks, tasks):
+            o, i = _index(out_slices), _index(in_slices)
+            out[o] = chunk[i]
         keep = tuple(0 if d else slice(None) for d in drop)
         return out[keep]
+
+    def _read_chunks(self, coords_list):
+        """Fetch+decode a batch of chunks, using the native fastload thread
+        pool (C++ read+inflate, see native/fastload.cpp) when the store and
+        codec support it; otherwise the sequential Python path."""
+        if len(coords_list) > 1 and self.order == "C":
+            from credit_tpu.native import fastload
+
+            codec = fastload.codec_id(self.compressor)
+            if codec is not None and fastload.available():
+                outs = [np.empty(self.chunks, self.dtype)
+                        for _ in coords_list]
+                codecs = [codec] * len(coords_list)
+                fill = 0 if self.fill_value is None else self.fill_value
+                if not self.store.remote:
+                    paths = [self.store._path(self._chunk_key(c))
+                             for c in coords_list]
+                    found = fastload.read_decode_batch(paths, codecs, outs)
+                    for i, ok in enumerate(found):
+                        if not ok:
+                            outs[i].fill(fill)
+                    return outs
+                # remote: bytes via fsspec, decompression still threaded
+                raws = [self.store.get(self._chunk_key(c))
+                        for c in coords_list]
+                present = [i for i, r in enumerate(raws) if r is not None]
+                fastload.decode_batch([raws[i] for i in present],
+                                      [codecs[i] for i in present],
+                                      [outs[i] for i in present])
+                for i, r in enumerate(raws):
+                    if r is None:
+                        outs[i].fill(fill)
+                return outs
+        return [self._read_chunk(c) for c in coords_list]
 
     def __getitem__(self, key):
         if not isinstance(key, tuple):

@@ -545,6 +545,25 @@ class Trainer:
                 logger.warning("tensorboardX not available; skipping TB logging")
 
         fetch_every = int(self.conf.get("trainer", {}).get("metrics_fetch_every", 50))
+        prefetch_depth = int(self.conf.get("trainer", {}).get("prefetch", 2))
+
+        def load(sampler_list, dataset):
+            """Host-side batch assembly (zarr gather + decode + device_put),
+            run `prefetch` batches ahead on a producer thread so it overlaps
+            the device step (see data/prefetch.py)."""
+            def assemble(tidxs):
+                tidx = np.concatenate(tidxs) if len(tidxs) > 1 else tidxs[0]
+                return self._shard_batch(
+                    {k: np.asarray(v) for k, v in
+                     dataset.batch(tidx, self.forecast_len).items()
+                     if v is not None})
+            if prefetch_depth > 0:
+                from credit_tpu.data.prefetch import Prefetcher
+
+                return Prefetcher(zip(*sampler_list), assemble,
+                                  depth=prefetch_depth)
+            return map(assemble, zip(*sampler_list))
+
         for epoch in range(self.num_epoch):
             for s in samplers:
                 s.set_epoch(epoch)
@@ -552,11 +571,7 @@ class Trainer:
             # accumulate metrics ON DEVICE — a float() per step would block
             # dispatch pipelining (host syncs every batch); fetch once/epoch
             acc, n_tr = None, 0
-            for tidxs in zip(*samplers):
-                tidx = np.concatenate(tidxs) if len(tidxs) > 1 else tidxs[0]
-                batch = self._shard_batch(
-                    {k: np.asarray(v) for k, v in
-                     self.dataset.batch(tidx, self.forecast_len).items() if v is not None})
+            for batch in load(samplers, self.dataset):
                 rng, sub = jax.random.split(rng)
                 state, metrics = self._train_step(state, batch, sub)
                 acc = metrics if acc is None else jax.tree_util.tree_map(
@@ -566,11 +581,7 @@ class Trainer:
                     logger.info("epoch %d batch %d loss %.5f", epoch, n_tr,
                                 float(metrics["loss"]))
             vacc, n_va = None, 0
-            for tidxs in zip(*vsamplers):
-                tidx = np.concatenate(tidxs) if len(tidxs) > 1 else tidxs[0]
-                batch = self._shard_batch(
-                    {k: np.asarray(v) for k, v in
-                     self.valid_dataset.batch(tidx, self.forecast_len).items() if v is not None})
+            for batch in load(vsamplers, self.valid_dataset):
                 vm = self._eval_step(state, batch)
                 vacc = vm if vacc is None else jax.tree_util.tree_map(jnp.add, vacc, vm)
                 n_va += 1
