@@ -80,6 +80,11 @@ class SNConv(nn.Module, SNMixin):
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.he_uniform()
     bias_init: Callable = nn.initializers.zeros_init()
+    # return the (normalized) kernel + bias instead of convolving — lets a
+    # parent fuse several same-stride convs into one (CrossEmbedLayer);
+    # param/state structure is identical either way, so checkpoints and
+    # torch conversion are unaffected
+    return_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -88,6 +93,8 @@ class SNConv(nn.Module, SNMixin):
         if self.use_sn:
             kernel = self._sn_kernel(kernel, update=train)
         bias = self.param("bias", self.bias_init, (self.features,)) if self.use_bias else None
+        if self.return_kernel:
+            return kernel, bias
         x = x.astype(self.dtype)
         return conv_ops.conv2d(x, kernel.astype(self.dtype), bias, self.strides, self.padding)
 
@@ -133,8 +140,12 @@ class SNDense(nn.Module, SNMixin):
             kernel = self._sn_kernel(kernel, update=train)
         x = x.astype(self.dtype)
         acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-        y = jnp.einsum("...i,io->...o", x, kernel.astype(self.dtype),
-                       preferred_element_type=acc).astype(self.dtype)
+        # flatten to a 2-D GEMM: the TPU dot emitter runs the rank-N einsum
+        # form ("...i,io") ~2.5x slower at the windowed-activation shapes
+        # (measured 0.38 vs 0.15 ms on the flagship's stage-0 qkv)
+        y = jnp.matmul(x.reshape(-1, x.shape[-1]), kernel.astype(self.dtype),
+                       preferred_element_type=acc)
+        y = y.reshape(*x.shape[:-1], self.features).astype(self.dtype)
         if self.use_bias:
             y = y + self.param("bias", self.bias_init, (self.features,)).astype(self.dtype)
         return y
@@ -324,6 +335,33 @@ class CrossEmbedLayer(nn.Module):
         n = len(ks)
         dim_scales = [self.dim_out // (2 ** i) for i in range(1, n)]
         dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
+        kmax = ks[-1]
+        if self.stride == 2 and all(k % 2 == 0 for k in ks) and n > 1:
+            # One fused conv for all scales. With padding (k-2)//2 every
+            # scale's stride-2 output grid is identical and centered at the
+            # same input offset, so zero-padding each kernel to kmax x kmax
+            # (centered) and concatenating along output channels computes
+            # the exact concat of the per-scale convs. Few-output-channel
+            # convs are lane-starved on the MXU (the flagship's 16-channel
+            # k=32 scale measured 19 TFLOP/s); the fused 128-channel conv
+            # runs at ~79% of peak and beats the four separate convs by
+            # ~40% wall clock despite the padded-tap FLOPs.
+            kbs = [SNConv(d, (k, k), (2, 2), padding=(k - 2) // 2,
+                          use_sn=self.use_sn, dtype=self.dtype,
+                          return_kernel=True, name=f"conv{i}")(x, train)
+                   for i, (k, d) in enumerate(zip(ks, dim_scales))]
+            kernels = []
+            biases = []
+            for (kern, bias), k in zip(kbs, ks):
+                p = (kmax - k) // 2
+                kernels.append(jnp.pad(kern, ((p, p), (p, p), (0, 0), (0, 0))))
+                biases.append(bias)
+            kmerged = jnp.concatenate(kernels, axis=-1)
+            bmerged = jnp.concatenate(biases, axis=-1)
+            return conv_ops.conv2d(x.astype(self.dtype),
+                                   kmerged.astype(self.dtype),
+                                   bmerged, stride=2,
+                                   padding=(kmax - 2) // 2)
         outs = []
         for i, (k, d) in enumerate(zip(ks, dim_scales)):
             outs.append(SNConv(d, (k, k), (self.stride, self.stride),

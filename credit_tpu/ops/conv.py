@@ -106,10 +106,19 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=2,
     from the forward-conv convention; we flip spatially and express the
     transpose as an input-dilated conv:
       out = (H - 1) * stride - 2 * padding + k
+
+    Fast path: stride-2 transposes whose output is exactly 2H x 2W (torch
+    combos k=2/p=0 and k=4/p=1 — the decoder UpBlocks and final head) are
+    rewritten as one stride-1 conv producing 4x the channels followed by
+    depth-to-space. The input-dilated lowering makes the MXU chew zeros
+    (75% of the dilated grid) and defeats its tiling; the phase form is
+    dense contractions only.
     """
     s = _pair(stride)
     ph, pw = _pair(padding)
     kh, kw = kernel.shape[0], kernel.shape[1]
+    if s == (2, 2) and kh == 2 * ph + 2 and kw == 2 * pw + 2:
+        return _conv_transpose2d_d2s(x, kernel, bias, (ph, pw), accum_dtype)
     k_flip = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
     out = lax.conv_general_dilated(
         x, k_flip,
@@ -122,6 +131,67 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=2,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _phase_taps(k: int, p: int):
+    """Per-output-phase taps of a stride-2 transposed conv.
+
+    out[2a + r] = sum_t x[a + d] * W[u] over the (d, u) pairs returned for
+    phase r, derived from the input-dilated formulation:
+      out[o] = sum_t dil(x)[o + t - (k-1-p)] * W[k-1-t],
+    nonzero where o + t - (k-1-p) is even; with o = 2a + r the input index
+    is a + d, d = (r + t - (k-1-p)) // 2.
+    """
+    taps = []
+    for r in (0, 1):
+        lst = []
+        for t in range(k):
+            num = r + t - (k - 1 - p)
+            if num % 2 == 0:
+                lst.append((num // 2, k - 1 - t))
+        taps.append(lst)
+    return taps
+
+
+def _conv_transpose2d_d2s(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
+    """Stride-2 transpose as phase conv + depth-to-space (see conv_transpose2d)."""
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    taps_h = _phase_taps(kh, pad[0])
+    taps_w = _phase_taps(kw, pad[1])
+    dh = [d for lst in taps_h for d, _ in lst]
+    dw = [d for lst in taps_w for d, _ in lst]
+    dh0, dh1 = min(dh), max(dh)
+    dw0, dw1 = min(dw), max(dw)
+    # phase-stacked kernel: (window_h, window_w, cin, 4 * cout), phase block
+    # (r, s) holds W[u_h, u_w] at window position (d_h - dh0, d_w - dw0)
+    zero = jnp.zeros((cin, cout), kernel.dtype)
+    rows = []
+    for i in range(dh1 - dh0 + 1):
+        cols = []
+        for j in range(dw1 - dw0 + 1):
+            blocks = []
+            for r in (0, 1):
+                th = {d: u for d, u in taps_h[r]}
+                for sph in (0, 1):
+                    tw = {d: u for d, u in taps_w[sph]}
+                    uh, uw = th.get(i + dh0), tw.get(j + dw0)
+                    blocks.append(kernel[uh, uw] if uh is not None
+                                  and uw is not None else zero)
+            cols.append(jnp.concatenate(blocks, axis=-1))
+        rows.append(jnp.stack(cols, axis=0))
+    k2 = jnp.stack(rows, axis=0)  # (wh, ww, cin, 4*cout)
+    xp = jnp.pad(x, ((0, 0), (-dh0, dh1), (-dw0, dw1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, k2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=_DN, preferred_element_type=_accum(x, accum_dtype),
+    ).astype(x.dtype)
+    # depth-to-space: (N, H, W, 2, 2, C) -> (N, 2H, 2W, C)
+    y = y.reshape(n, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(n, 2 * h, 2 * w, cout)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=(1, 1, 1),

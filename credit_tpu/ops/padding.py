@@ -37,22 +37,24 @@ def earth_pad(x: jnp.ndarray, pad_lat=(0, 0), pad_lon=(0, 0)) -> jnp.ndarray:
     pw, pe = _norm_pads(pad_lon)
 
     if pn > 0 or ps > 0:
-        shift = x.shape[LON_AXIS] // 2
-        xroll = jnp.roll(x, shift, axis=LON_AXIS)
+        # Slice the pole rows FIRST, then 180-degree-roll only those rows.
+        # Rolling the whole field (jnp.roll on the full array) materialized
+        # a transposed-layout copy of the entire grid on TPU — profiled at
+        # 25 ms/step on the 0.25-deg flagship vs <1 ms for this form.
+        nlon = x.shape[LON_AXIS]
+        keep = nlon - nlon // 2
+
+        def roll180(rows):
+            return jnp.concatenate(
+                [rows[..., :, keep:, :], rows[..., :, :keep, :]],
+                axis=LON_AXIS)
+
         parts = []
         if pn > 0:
-            top = jnp.flip(
-                jnp.take(xroll, jnp.arange(pn), axis=LAT_AXIS), axis=LAT_AXIS
-            )
-            parts.append(top)
+            parts.append(jnp.flip(roll180(x[..., :pn, :, :]), axis=LAT_AXIS))
         parts.append(x)
         if ps > 0:
-            nlat = x.shape[LAT_AXIS]
-            bot = jnp.flip(
-                jnp.take(xroll, jnp.arange(nlat - ps, nlat), axis=LAT_AXIS),
-                axis=LAT_AXIS,
-            )
-            parts.append(bot)
+            parts.append(jnp.flip(roll180(x[..., -ps:, :, :]), axis=LAT_AXIS))
         x = jnp.concatenate(parts, axis=LAT_AXIS)
 
     if pw > 0 or pe > 0:
@@ -62,13 +64,12 @@ def earth_pad(x: jnp.ndarray, pad_lat=(0, 0), pad_lon=(0, 0)) -> jnp.ndarray:
 
 def circular_pad_lon(x: jnp.ndarray, pad_lon=(0, 0)) -> jnp.ndarray:
     pw, pe = _norm_pads(pad_lon)
-    nlon = x.shape[LON_AXIS]
     parts = []
     if pw > 0:
-        parts.append(jnp.take(x, jnp.arange(nlon - pw, nlon), axis=LON_AXIS))
+        parts.append(x[..., :, -pw:, :])
     parts.append(x)
     if pe > 0:
-        parts.append(jnp.take(x, jnp.arange(pe), axis=LON_AXIS))
+        parts.append(x[..., :, :pe, :])
     return jnp.concatenate(parts, axis=LON_AXIS) if len(parts) > 1 else x
 
 
@@ -84,15 +85,11 @@ def mirror_pad(x: jnp.ndarray, pad_lat=(0, 0), pad_lon=(0, 0)) -> jnp.ndarray:
         parts = []
         if pn > 0:
             # reflect excludes the edge row (torch 'reflect')
-            top = jnp.flip(jnp.take(x, jnp.arange(1, pn + 1), axis=LAT_AXIS), axis=LAT_AXIS)
-            parts.append(top)
+            parts.append(jnp.flip(x[..., 1:pn + 1, :, :], axis=LAT_AXIS))
         parts.append(x)
         if ps > 0:
-            bot = jnp.flip(
-                jnp.take(x, jnp.arange(nlat - ps - 1, nlat - 1), axis=LAT_AXIS),
-                axis=LAT_AXIS,
-            )
-            parts.append(bot)
+            parts.append(jnp.flip(x[..., nlat - ps - 1:nlat - 1, :, :],
+                                  axis=LAT_AXIS))
         x = jnp.concatenate(parts, axis=LAT_AXIS)
     return x
 
@@ -104,9 +101,9 @@ def unpad(x: jnp.ndarray, pad_lat=(0, 0), pad_lon=(0, 0)) -> jnp.ndarray:
     nlat = x.shape[LAT_AXIS]
     nlon = x.shape[LON_AXIS]
     if pn > 0 or ps > 0:
-        x = jnp.take(x, jnp.arange(pn, nlat - ps), axis=LAT_AXIS)
+        x = x[..., pn:nlat - ps, :, :]
     if pw > 0 or pe > 0:
-        x = jnp.take(x, jnp.arange(pw, nlon - pe), axis=LON_AXIS)
+        x = x[..., :, pw:nlon - pe, :]
     return x
 
 

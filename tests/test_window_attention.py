@@ -79,3 +79,24 @@ def test_window_attention_matches_dense_reference(rng):
     a = a / a.sum(-1, keepdims=True)
     ref = np.einsum("bnhij,bnjhd->bnihd", a, vh).reshape(b, nwin, t, inner)
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_attention_close_to_f32(rng):
+    """The all-bf16 score path (used by bf16 compute models) must stay
+    within bf16 rounding of the f32 reference."""
+    b, nwin, t, heads, dh = 1, 4, 9, 2, 8
+    inner = heads * dh
+    q = rng.standard_normal((b, nwin, t, inner)).astype(np.float32)
+    k = rng.standard_normal((b, nwin, t, inner)).astype(np.float32)
+    v = rng.standard_normal((b, nwin, t, inner)).astype(np.float32)
+    bias = rng.standard_normal((t, t)).astype(np.float32)
+    f32 = np.asarray(window_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+        heads))
+    bf = np.asarray(window_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(bias), heads)
+    ).astype(np.float32)
+    # attention outputs are O(1); bf16 relative precision ~2^-8
+    np.testing.assert_allclose(bf, f32, rtol=0, atol=0.05)
+    assert np.abs(bf - f32).mean() < 0.01
