@@ -339,6 +339,30 @@ srun bash -c 'CREDIT_PROCESS_ID=$SLURM_PROCID python -m credit_tpu.cli train {ar
         f.write(script)
     os.chmod(out, 0o755)
     print(out)
+    if getattr(args, "resubmit", 0) > 0:
+        # chained restart-based fault tolerance (reference: credit submit
+        # --resubmit N, cli/_submit.py:628 _compute_chain — each restart
+        # resumes from the checkpoint; scheduler holds restart i until
+        # restart i-1 finished)
+        n = args.resubmit
+        if args.scheduler == "pbs":
+            chain = (f"#!/bin/bash\nPREV=$(qsub {out})\necho $PREV\n"
+                     f"for i in $(seq {n}); do\n"
+                     f"  PREV=$(qsub -W depend=afterok:$PREV {out})\n"
+                     f"  echo $PREV\ndone\n")
+        elif args.scheduler == "slurm":
+            chain = (f"#!/bin/bash\nPREV=$(sbatch --parsable {out})\n"
+                     f"echo $PREV\nfor i in $(seq {n}); do\n"
+                     f"  PREV=$(sbatch --parsable --dependency=afterok:$PREV {out})\n"
+                     f"  echo $PREV\ndone\n")
+        else:  # gcloud: no scheduler — sequential reruns resume from ckpt
+            chain = (f"#!/bin/bash\nfor i in $(seq 0 {n}); do\n"
+                     f"  bash {out}\ndone\n")
+        chain_out = os.path.splitext(out)[0] + "_chain.sh"
+        with open(chain_out, "w") as f:
+            f.write(chain)
+        os.chmod(chain_out, 0o755)
+        print(chain_out)
     return 0
 
 
@@ -511,6 +535,9 @@ def build_parser():
     sp.add_argument("--tpu-name", default=None)
     sp.add_argument("--zone", default=None)
     sp.add_argument("--out", default=None)
+    sp.add_argument("--resubmit", type=int, default=0,
+                    help="also write a chain script submitting N dependent "
+                         "restarts (afterok) that resume from checkpoint")
     sp.set_defaults(fn=cmd_submit)
 
     sp = sub.add_parser("rollout-metrics",

@@ -59,6 +59,22 @@ def test_submit_generates_scripts(tmp_path, monkeypatch):
         assert os.access(f"l_{sched}.sh", os.X_OK)
 
 
+def test_submit_resubmit_chain(tmp_path, monkeypatch):
+    """--resubmit N writes a dependency-chained restart script
+    (reference: credit submit --resubmit, cli/_submit.py _compute_chain)."""
+    monkeypatch.chdir(tmp_path)
+    conf = _write_tiny_conf(tmp_path)
+    assert main(["submit", conf, "--scheduler", "pbs", "--out", "j.sh",
+                 "--resubmit", "3"]) == 0
+    chain = open("j_chain.sh").read()
+    assert "depend=afterok:$PREV" in chain and "seq 3" in chain
+    assert os.access("j_chain.sh", os.X_OK)
+    assert main(["submit", conf, "--scheduler", "slurm", "--out", "s.sh",
+                 "--resubmit", "2"]) == 0
+    chain = open("s_chain.sh").read()
+    assert "--dependency=afterok:$PREV" in chain and "--parsable" in chain
+
+
 def test_convert_legacy_cli(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     legacy = {"data": {"variables": ["U"], "surface_variables": ["SP"],
