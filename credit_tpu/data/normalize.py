@@ -34,6 +34,11 @@ class Normalizer:
     def denormalize_target(self, y):
         return y * self.target_std + self.target_mean
 
+    def denormalize_input(self, x):
+        """Inverse of normalize_input (replay training stores model states
+        back in physical units so they mix with fresh dataset samples)."""
+        return x * self.input_std + self.input_mean
+
     def normalize_forcing(self, f, schema):
         """Normalize a dynamic-forcing slice with its input-channel stats
         (forcing splices into the normalized input at rollout time)."""

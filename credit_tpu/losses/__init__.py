@@ -203,6 +203,12 @@ class WeightedLoss:
 
     @classmethod
     def from_config(cls, conf: dict, grid=None, validation: bool = False) -> "WeightedLoss":
+        # downscaling configs (multi-dataset `data.datasets` key) get the
+        # un-latitude-weighted downscaling loss regardless of weight flags
+        # (reference: credit/losses/__init__.py:217 `is_downscaling =
+        # "datasets" in conf["data"]` -> DownscalingLoss)
+        if cls is WeightedLoss and "datasets" in (conf.get("data") or {}):
+            return DownscalingLoss.from_config(conf, grid, validation)
         lconf = conf.get("loss", {})
         key = "validation_loss" if (validation and "validation_loss" in lconf) else "training_loss"
         base = lconf.get(key, "mse")
@@ -241,6 +247,39 @@ class WeightedLoss:
             loss = loss + self.spectral_lambda * spectral_loss(
                 target, p2, self.lat_weights, self.wavenum_init)
         return loss
+
+
+class DownscalingLoss(WeightedLoss):
+    """Loss for regional-downscaling configs: the base loss on the target
+    grid with NO latitude weighting (the regional target grid is not a
+    global lat-lon graticule), validation defaulting to L1, and CRPS-family
+    training losses reused for validation (reference:
+    credit/losses/downscaling_loss.py:63 DownscalingLoss)."""
+
+    @classmethod
+    def from_config(cls, conf: dict, grid=None, validation: bool = False) -> "DownscalingLoss":
+        import warnings
+
+        lconf = dict(conf.get("loss", {}))
+        if lconf.get("use_latitude_weights"):
+            warnings.warn("latitude weights not applicable to downscaling")
+        train_base = lconf.get("training_loss", "mse")
+        if validation:
+            if is_crps_loss(train_base):
+                base = train_base  # ensembles validate with the same CRPS
+            else:
+                base = lconf.get("validation_loss", "mae")
+        else:
+            base = train_base
+        return cls(
+            base=base,
+            spectral_lambda=lconf.get("spectral_lambda_reg", 0.0)
+            if lconf.get("use_spectral_loss") else 0.0,
+            power_lambda=lconf.get("spectral_lambda_reg", 0.0)
+            if lconf.get("use_power_loss") else 0.0,
+            wavenum_init=lconf.get("spectral_wavenum_init", 20),
+            validation=validation,
+        )
 
 
 @registry.register("loss", "ring-crps")

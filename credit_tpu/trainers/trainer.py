@@ -73,7 +73,8 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                     backprop_on_timestep: Optional[Sequence[int]] = None,
                     history_len: int = 1, ema_decay: float = 0.0,
                     ensemble_size: int = 1, normalizer=None, preblocks=(),
-                    preblocks_ic=(), postblocks=(), metrics_fn=None):
+                    preblocks_ic=(), postblocks=(), metrics_fn=None,
+                    return_final_state: bool = False):
     """Build the jitted multi-step train step.
 
     batch: {'x': (B, T_hist, H, W, C_in), 'y': (B, S, H, W, C_t),
@@ -227,6 +228,16 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                                   ema_params=new_ema)
         metrics = {"loss": mean_loss, "grad_norm": gnorm,
                    "finite": finite.astype(jnp.float32), **var_metrics}
+        if return_final_state:
+            # the model-predicted input state valid one step past the batch —
+            # replay training stores it and re-serves it as a future initial
+            # condition (reference: credit/replay_buffer.py Trainer:384).
+            # Forcing channels carry the last step's values; the replay batch
+            # assembly re-targets forcing/targets from data at serve time.
+            final = schema.update_x(x[:, -1:], y_pred[:, -1:], None)
+            if normalizer is not None:
+                final = normalizer.denormalize_input(final)
+            metrics["_final_x"] = jax.lax.stop_gradient(final)
         return new_state, metrics
 
     return train_step
@@ -369,12 +380,37 @@ class Trainer:
                     grid, var_names=list(schema.target_names))
             except Exception:  # grid not derivable from conf (synthetic tests)
                 self.metrics_fn = None
+        # replay training: bounded pool of model-predicted states re-served
+        # as initial conditions (reference: credit/replay_buffer.py
+        # ReplayBuffer:77 + its Trainer:384 — keeps long climate rollouts
+        # in-distribution). Costs one small host fetch per batch.
+        rp = t.get("replay")
+        self.replay = None
+        if rp:
+            from credit_tpu.data.replay_buffer import ReplayBuffer
+
+            rp = rp if isinstance(rp, dict) else {}
+            self.replay = ReplayBuffer(
+                capacity=int(rp.get("capacity", 128)),
+                replay_probability=float(rp.get("probability", 0.5)),
+                seed=int(conf.get("seed", 0)))
+        self._step_kw = dict(
+            history_len=self.history_len,
+            ema_decay=self.ema_decay if self.use_ema else 0.0,
+            ensemble_size=self.ensemble_size, normalizer=normalizer,
+            preblocks=tuple(pre_step), preblocks_ic=tuple(pre_ic),
+            postblocks=tuple(post), metrics_fn=self.metrics_fn,
+            return_final_state=self.replay is not None)
         self._train_step = jax.jit(make_train_step(
             model, loss_fn, self.optimizer, schema, self.forecast_len,
-            self.backprop_on, self.history_len, self.ema_decay if self.use_ema else 0.0,
-            self.ensemble_size, normalizer=normalizer,
-            preblocks=tuple(pre_step), preblocks_ic=tuple(pre_ic),
-            postblocks=tuple(post), metrics_fn=self.metrics_fn))
+            self.backprop_on, **self._step_kw))
+        self._step_cache = {self.forecast_len: self._train_step}
+        # scheduled-rollout sampling: anneal the epoch's rollout length from
+        # short to forecast_len (reference: scheduler.py:220
+        # annealed_probability, passed as BaseTrainer.fit rollout_scheduler)
+        rs = t.get("rollout_schedule")
+        self.rollout_schedule = ({"type": rs} if isinstance(rs, str)
+                                 else rs) if rs else None
         # CRPS-family validation needs >= 2 members (reference:
         # losses/__init__.py CRPS_LOSSES gate on trainer.ensemble_size)
         eval_ens = (max(self.ensemble_size, 2)
@@ -383,6 +419,37 @@ class Trainer:
             model, valid_loss_fn, schema, self.forecast_len, self.history_len,
             normalizer=normalizer, ensemble_size=eval_ens,
             metrics_fn=self.metrics_fn))
+
+    def _train_step_for(self, flen: int):
+        """Jitted train step for a scheduled rollout length (cached per
+        length — one XLA program per distinct length, reused across epochs)."""
+        if flen not in self._step_cache:
+            bp = ([b for b in self.backprop_on if b < flen] or None
+                  if self.backprop_on else None)
+            self._step_cache[flen] = jax.jit(make_train_step(
+                self.model, self.loss_fn, self.optimizer, self.schema,
+                flen, bp, **self._step_kw))
+        return self._step_cache[flen]
+
+    def _scheduled_forecast_len(self, epoch: int, seed: int) -> int:
+        """Epoch's rollout length under trainer.rollout_schedule: a geometric
+        draw with the annealed termination probability, capped at
+        data.forecast_len. Seeded by (seed, epoch) only, so every process
+        draws the same length (multi-host samplers stay in lockstep)."""
+        if not self.rollout_schedule:
+            return self.forecast_len
+        from credit_tpu.trainers.scheduler import annealed_probability
+
+        rs = self.rollout_schedule
+        p = annealed_probability(
+            epoch, int(rs.get("max_epochs", self.num_epoch)),
+            float(rs.get("min_probability", 0.01)),
+            float(rs.get("max_probability", 1.0)))
+        rng = np.random.default_rng(seed * 100003 + epoch)
+        flen = 1
+        while flen < self.forecast_len and rng.random() > p:
+            flen += 1
+        return flen
 
     # optuna pruning hook (reference: base_trainer.py trial.report/should_prune)
     optuna_trial = None
@@ -547,16 +614,23 @@ class Trainer:
         fetch_every = int(self.conf.get("trainer", {}).get("metrics_fetch_every", 50))
         prefetch_depth = int(self.conf.get("trainer", {}).get("prefetch", 2))
 
-        def load(sampler_list, dataset):
+        def load(sampler_list, dataset, flen=None, replay=False):
             """Host-side batch assembly (zarr gather + decode + device_put),
             run `prefetch` batches ahead on a producer thread so it overlaps
-            the device step (see data/prefetch.py)."""
+            the device step (see data/prefetch.py). With replay=True, inputs
+            may be swapped for replayed model states and each item is
+            (batch, t_next) where t_next are the batch's post-rollout time
+            indices (for storing this step's predictions)."""
+            flen = flen or self.forecast_len
+
             def assemble(tidxs):
                 tidx = np.concatenate(tidxs) if len(tidxs) > 1 else tidxs[0]
-                return self._shard_batch(
-                    {k: np.asarray(v) for k, v in
-                     dataset.batch(tidx, self.forecast_len).items()
+                raw = (self.replay.make_batch(dataset, tidx, flen) if replay
+                       else dataset.batch(tidx, flen))
+                batch = self._shard_batch(
+                    {k: np.asarray(v) for k, v in raw.items()
                      if v is not None})
+                return (batch, np.asarray(tidx) + flen) if replay else batch
             if prefetch_depth > 0:
                 from credit_tpu.data.prefetch import Prefetcher
 
@@ -568,12 +642,23 @@ class Trainer:
             for s in samplers:
                 s.set_epoch(epoch)
             t0 = time.time()
+            eff_len = self._scheduled_forecast_len(epoch, seed)
+            if eff_len != self.forecast_len:
+                logger.info("epoch %d scheduled rollout length: %d", epoch, eff_len)
+            step_fn = self._train_step_for(eff_len)
             # accumulate metrics ON DEVICE — a float() per step would block
             # dispatch pipelining (host syncs every batch); fetch once/epoch
             acc, n_tr = None, 0
-            for batch in load(samplers, self.dataset):
+            for item in load(samplers, self.dataset, eff_len,
+                             replay=self.replay is not None):
+                batch, t_next = item if self.replay is not None else (item, None)
                 rng, sub = jax.random.split(rng)
-                state, metrics = self._train_step(state, batch, sub)
+                state, metrics = step_fn(state, batch, sub)
+                if self.replay is not None:
+                    fx = np.asarray(jax.device_get(metrics.pop("_final_x")))
+                    for i, t in enumerate(t_next):
+                        if t + self.forecast_len < len(self.dataset):
+                            self.replay.add(int(t), fx[i])
                 acc = metrics if acc is None else jax.tree_util.tree_map(
                     jnp.add, acc, metrics)
                 n_tr += 1
