@@ -246,6 +246,17 @@ def cmd_metrics(args):
     return 0
 
 
+def cmd_ensemble_eval(args):
+    """Offline ensemble verification over a saved rollout tree (reference:
+    applications/ensemble_eval.py — spread-error, binned spread-skill,
+    zonal + div/rot spectra from netCDF files, no model run)."""
+    from credit_tpu.applications.ensemble_eval import run_ensemble_eval
+
+    conf = _load(args)
+    run_ensemble_eval(conf, args.root, n_bins=args.bins, out_path=args.out)
+    return 0
+
+
 def cmd_plot(args):
     """Truth-vs-pred map plot, or an animation across forecast files
     (reference: credit plot cli/_plot.py + credit/animation.py)."""
@@ -539,6 +550,14 @@ def build_parser():
                     help="also write a chain script submitting N dependent "
                          "restarts (afterok) that resume from checkpoint")
     sp.set_defaults(fn=cmd_submit)
+
+    sp = sub.add_parser("ensemble-eval",
+                        help="offline ensemble verification of saved rollouts")
+    sp.add_argument("config")
+    sp.add_argument("root", help="rollout output tree (init dirs + _eNN members)")
+    sp.add_argument("--bins", type=int, default=6)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_ensemble_eval)
 
     sp = sub.add_parser("rollout-metrics",
                         help="noisy-IC ensemble rollout + verification metrics")
