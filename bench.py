@@ -201,16 +201,21 @@ def run_bench(flagship: bool, bf16: bool):
         f"{per_step * 1e3:.2f} ms/step, {steps_per_s:.1f} steps/s, "
         f"{gridpoints_per_s / 1e6:.1f}M gridpoints/s")
 
+    # XLA cost analysis counts a while/scan BODY once regardless of trip
+    # count; the compiled module is one unrolled fill step (the DPB-cache
+    # materialization doubles as step 1) + the scan body, i.e. ~2 per-step
+    # units of FLOPs/bytes.
+    steps_counted = 2
     if flops:
         peak = PEAK_FLOPS["bfloat16" if bf16 else "float32"]
-        mfu = (flops / n_steps) / per_step / peak
+        mfu = (flops / steps_counted) / per_step / peak
         log(f"[{tag}] modeled MFU: {100 * mfu:.1f}% "
-            f"({flops / n_steps / 1e12:.2f} TFLOP/step @ "
+            f"({flops / steps_counted / 1e12:.2f} TFLOP/step @ "
             f"{peak / 1e12:.0f} TFLOP/s peak)")
     if bytes_acc:
-        roof = (bytes_acc / n_steps) / per_step / HBM_BYTES_PER_S
+        roof = (bytes_acc / steps_counted) / per_step / HBM_BYTES_PER_S
         log(f"[{tag}] HBM roofline: {100 * roof:.1f}% "
-            f"({bytes_acc / n_steps / 1e9:.2f} GB/step @ 819 GB/s)")
+            f"({bytes_acc / steps_counted / 1e9:.2f} GB/step @ 819 GB/s)")
 
     base_gps = BASELINE_STEPS_PER_S * 181 * 360
     metric = ("wxformer_025deg_rollout" if flagship

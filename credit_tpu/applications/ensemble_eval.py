@@ -85,7 +85,8 @@ def evaluate_tree(conf: dict, root: str, n_bins: int = 6,
     from credit_tpu.applications.experiment import build_experiment
     from credit_tpu.metrics import (binned_spread_skill,
                                     divergent_rotational_spectra,
-                                    spread_error, zonal_spectrum)
+                                    spread_error, spread_error_regional,
+                                    zonal_spectrum)
 
     exp = build_experiment(conf)
     schema, grid = exp["schema"], exp["grid"]
@@ -136,6 +137,10 @@ def evaluate_tree(conf: dict, root: str, n_bins: int = 6,
                     sp, rmse = spread_error(jnp.asarray(truth)[None], e, w)
                     row["rmse"] = float(rmse)
                     row["spread_skill_ratio"] = float(sp / (rmse + 1e-12))
+                    # latitude-band partition (reference
+                    # verification/ensemble.py latitude_slices)
+                    row.update(spread_error_regional(
+                        jnp.asarray(truth)[None], e, grid.lat))
                     sb, rb, cnt = binned_spread_skill(
                         jnp.asarray(truth)[None], e, n_bins)
                     row["bin_spread"] = [float(x) for x in sb]

@@ -143,8 +143,8 @@ def run_rollout(conf: dict, n_steps: Optional[int] = None,
                 _bred_key = jax.random.PRNGKey(0)
 
                 def step_fn(x):
-                    _, x2, _ = engine._step_nofrc(engine.variables, x,
-                                                  _bred_states, _bred_key)
+                    _, x2, _, _ = engine._step_nofrc(engine.variables, x,
+                                                     _bred_states, _bred_key)
                     return x2
 
                 ics = generate_bred_vectors(

@@ -76,6 +76,52 @@ def spread_error(target: jnp.ndarray, pred_ens: jnp.ndarray, w=None):
     return jnp.sqrt(var.mean()), jnp.sqrt(err2.mean())
 
 
+# regional latitude partition for ensemble verification
+# (reference: credit/verification/ensemble.py:7 latitude_slices)
+LATITUDE_BANDS = {
+    "global": (-91.0, 91.0),
+    "s_extratropics": (-91.0, -24.5),
+    "tropics": (-24.5, 24.5),
+    "n_extratropics": (24.5, 91.0),
+}
+
+
+def spread_error_regional(target: jnp.ndarray, pred_ens: jnp.ndarray,
+                          lats) -> dict:
+    """Latitude-band-partitioned spread/RMSE with cos(lat) area weighting
+    and the (M+1)/(M-1) finite-ensemble spread correction
+    (reference: credit/verification/ensemble.py:14-45 spread_error).
+
+    target: (B, ..., H, W, C) truth; pred_ens: (B, M, ..., H, W, C);
+    lats: (H,) latitudes in degrees. Returns
+    {"std_<band>": ..., "rmse_<band>": ...} scalars.
+    """
+    import numpy as np
+
+    lats = np.asarray(lats)
+    m = pred_ens.shape[1]
+    corr = (m + 1) / max(m - 1, 1)
+    w_lat = jnp.asarray(np.cos(np.deg2rad(lats)))  # (H,)
+    mean = pred_ens.mean(axis=1)
+    # reference quirk kept verbatim: "rmse" is sqrt((mean-true)^2) == |err|
+    # averaged over the non-lat dims BEFORE the area-weighted lat mean
+    # (ensemble.py:29 rmse_raw)
+    err = jnp.abs(mean - target)
+    std = pred_ens.std(axis=1, ddof=0)
+    # collapse all axes except lat: (..., H, W, C) -> (H,)
+    lat_ax = -3
+    red = tuple(i for i in range(err.ndim) if i != err.ndim + lat_ax)
+    err_lat = err.mean(axis=red)
+    std_lat = std.mean(axis=red)
+    out = {}
+    for name, (lo, hi) in LATITUDE_BANDS.items():
+        sel = jnp.asarray((lats >= lo) & (lats < hi), err_lat.dtype)
+        wsum = jnp.sum(w_lat * sel) + 1e-12
+        out[f"std_{name}"] = float(corr * jnp.sum(std_lat * w_lat * sel) / wsum)
+        out[f"rmse_{name}"] = float(jnp.sum(err_lat * w_lat * sel) / wsum)
+    return out
+
+
 def zonal_spectrum(f: jnp.ndarray) -> jnp.ndarray:
     """Per-latitude zonal power spectrum (reference verification/standard.py:9
     semantics, FFT over lon): (..., lat, lon) -> (..., lat, nlon//2+1)."""

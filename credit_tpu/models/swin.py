@@ -99,15 +99,27 @@ class WindowAttentionV2(nn.Module):
         scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0)))
         attn = attn * scale
 
-        # continuous relative position bias
-        table = jnp.asarray(_relative_coords_table(self.window_size))
-        cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(table)
-        cpb = nn.relu(cpb)
-        cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32, name="cpb_fc2")(cpb)
-        idx = jnp.asarray(_relative_position_index(self.window_size))
-        bias = cpb[idx]                      # (T, T, heads)
-        bias = 16.0 * jax.nn.sigmoid(bias)
-        attn = attn + bias.transpose(2, 0, 1)[None]
+        # continuous relative position bias — params+static-grid only, so
+        # loop-invariant across a rollout; same cache protocol as
+        # models.layers.WindowAttention (fill under mutable=["dpb_cache"],
+        # read back afterwards)
+        fill = (self.is_mutable_collection("dpb_cache")
+                and not self.is_initializing())
+        if self.has_variable("dpb_cache", "bias") and not fill:
+            bias_hts = self.get_variable("dpb_cache", "bias")
+        else:
+            table = jnp.asarray(_relative_coords_table(self.window_size))
+            cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(table)
+            cpb = nn.relu(cpb)
+            cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32,
+                           name="cpb_fc2")(cpb)
+            idx = jnp.asarray(_relative_position_index(self.window_size))
+            bias = cpb[idx]                      # (T, T, heads)
+            bias_hts = (16.0 * jax.nn.sigmoid(bias)).transpose(2, 0, 1)
+            if fill:
+                cache = self.variable("dpb_cache", "bias", lambda: bias_hts)
+                cache.value = bias_hts
+        attn = attn + bias_hts[None]
 
         if mask is not None:
             nw = mask.shape[0]

@@ -29,6 +29,13 @@ from credit_tpu.data.normalize import Normalizer
 logger = logging.getLogger(__name__)
 
 
+def _tree_has_key(tree, key: str) -> bool:
+    """True if any nested dict in `tree` has an entry named `key`."""
+    if not isinstance(tree, dict):
+        return False
+    return any(k == key or _tree_has_key(v, key) for k, v in tree.items())
+
+
 class RolloutEngine:
     def __init__(self, model, variables: Dict[str, Any], schema: ChannelSchema,
                  normalizer: Optional[Normalizer] = None, history_len: int = 1,
@@ -74,27 +81,49 @@ class RolloutEngine:
         self._has_stateful = any(getattr(b, "is_stateful", False)
                                  for b in self.postblocks)
 
-        def step(variables, x, forcing_next, states, key):
-            """x: (B, T_hist, H, W, C_in); forcing_next: (B, 1, H, W, n_dyn) or None.
-            Returns (y_pred, x_next, states) — y_pred in normalized space."""
-            key, noise_key = jax.random.split(key)
-            y_pred = self.model.apply(variables, x, rngs={"noise": noise_key})
-            y_pred, states = apply_postblocks_stateful(
-                self.postblocks, y_pred, x, states, key,
-                params=self.pb_params)
-            new_frame = self.schema.update_x(x[:, -1:], y_pred[:, -1:], forcing_next)
-            if self.history_len > 1:
-                x_next = jnp.concatenate([x[:, 1:], new_frame], axis=1)
-            else:
-                x_next = new_frame
-            return y_pred, x_next, states
+        def make_step(fill: bool):
+            def step(variables, x, forcing_next, states, key):
+                """x: (B, T_hist, H, W, C_in); forcing_next: (B, 1, H, W, n_dyn)
+                or None. Returns (y_pred, x_next, states, dpb_cache) — y_pred in
+                normalized space."""
+                key, noise_key = jax.random.split(key)
+                if fill:
+                    y_pred, mut = self.model.apply(
+                        variables, x, rngs={"noise": noise_key},
+                        mutable=["dpb_cache"])
+                else:
+                    y_pred = self.model.apply(variables, x,
+                                              rngs={"noise": noise_key})
+                    mut = {}
+                y_pred, states = apply_postblocks_stateful(
+                    self.postblocks, y_pred, x, states, key,
+                    params=self.pb_params)
+                new_frame = self.schema.update_x(x[:, -1:], y_pred[:, -1:],
+                                                 forcing_next)
+                if self.history_len > 1:
+                    x_next = jnp.concatenate([x[:, 1:], new_frame], axis=1)
+                else:
+                    x_next = new_frame
+                return y_pred, x_next, states, mut.get("dpb_cache", {})
 
+            return step
+
+        step = make_step(fill=False)
         self._step = jax.jit(step)
-
-        def step_nofrc(variables, x, states, key):
-            return step(variables, x, None, states, key)
-
-        self._step_nofrc = jax.jit(step_nofrc)
+        self._step_nofrc = jax.jit(
+            lambda variables, x, states, key: step(variables, x, None, states,
+                                                   key))
+        # first-call fill step: same forward, but also materializes the
+        # loop-invariant position-bias tables (see make_scan_rollout); only
+        # compiled for models that carry a DynamicPositionBias
+        fill = make_step(fill=True)
+        self._step_fill = jax.jit(fill)
+        self._step_fill_nofrc = jax.jit(
+            lambda variables, x, states, key: fill(variables, x, None, states,
+                                                   key))
+        prm = self.variables.get("params", {})
+        self._dpb_pending = (_tree_has_key(prm, "dpb")
+                             or _tree_has_key(prm, "cpb_fc1"))
         self._states = {}
         self._key = jax.random.PRNGKey(0)
 
@@ -107,12 +136,26 @@ class RolloutEngine:
         if self._has_stateful and not self._states:
             self.reset(x.shape[0])
         self._key, sub = jax.random.split(self._key)
+        if self._dpb_pending:
+            # first step doubles as the DPB-cache fill; later dispatches
+            # carry the tables and skip the per-layer bias MLPs
+            self._dpb_pending = False
+            if forcing_next is None:
+                y, x2, self._states, cache = self._step_fill_nofrc(
+                    self.variables, x, self._states, sub)
+            else:
+                y, x2, self._states, cache = self._step_fill(
+                    self.variables, x, forcing_next, self._states, sub)
+            if cache:
+                self.variables = {**self.variables, "dpb_cache": cache}
+            return y, x2
         if forcing_next is None:
-            y, x2, self._states = self._step_nofrc(self.variables, x,
-                                                   self._states, sub)
+            y, x2, self._states, _ = self._step_nofrc(self.variables, x,
+                                                      self._states, sub)
         else:
-            y, x2, self._states = self._step(self.variables, x, forcing_next,
-                                             self._states, sub)
+            y, x2, self._states, _ = self._step(self.variables, x,
+                                                forcing_next, self._states,
+                                                sub)
         return y, x2
 
     def run(self, x0: jnp.ndarray, n_steps: int,
@@ -181,8 +224,7 @@ def make_scan_rollout(model, schema: ChannelSchema, n_steps: int,
     """
 
     def run(variables, x0, forcings=None):
-        def body(x, f):
-            y_pred = model.apply(variables, x)
+        def advance(x, y_pred, f):
             new_frame = schema.update_x(x[:, -1:], y_pred[:, -1:], f)
             if history_len > 1:
                 x_next = jnp.concatenate([x[:, 1:], new_frame], axis=1)
@@ -194,12 +236,27 @@ def make_scan_rollout(model, schema: ChannelSchema, n_steps: int,
             stats = jnp.mean(y_pred, axis=(0, 1, 2, 3))  # (C,)
             return x_next, stats
 
+        # Step 1 runs with mutable=["dpb_cache"]: its forward IS the first
+        # rollout step, and as a side effect it materializes the static
+        # position-bias tables (models.layers.WindowAttention). The scan
+        # body closes over the filled tables as loop constants, so steps
+        # 2..N skip the per-layer DPB MLPs (loop-invariant work).
+        y0, mut = model.apply(variables, x0, mutable=["dpb_cache"])
+        v_cached = {**variables, **mut} if mut.get("dpb_cache") else variables
+        x1, stats0 = advance(x0, y0, forcings[0] if with_forcing else None)
+
+        def body(x, f):
+            return advance(x, model.apply(v_cached, x), f)
+
+        if n_steps == 1:
+            return x1, stats0[None]
         if with_forcing:
-            final_x, stats = jax.lax.scan(body, x0, forcings, length=n_steps,
-                                          unroll=unroll)
+            final_x, stats = jax.lax.scan(body, x1, forcings[1:],
+                                          length=n_steps - 1, unroll=unroll)
         else:
-            final_x, stats = jax.lax.scan(lambda x, _: body(x, None), x0,
-                                          None, length=n_steps, unroll=unroll)
-        return final_x, stats
+            final_x, stats = jax.lax.scan(lambda x, _: body(x, None), x1,
+                                          None, length=n_steps - 1,
+                                          unroll=unroll)
+        return final_x, jnp.concatenate([stats0[None], stats], axis=0)
 
     return run

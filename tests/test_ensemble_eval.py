@@ -61,3 +61,32 @@ def test_cli_ensemble_eval(tmp_path, monkeypatch):
                  "--out", str(out)]) == 0
     rows = json.loads(out.read_text())
     assert rows and rows[0]["n_members"] == 2
+
+
+def test_spread_error_regional_bands():
+    """Band partition: tropics-only error shows up in the tropics band, not
+    the extratropics; global std carries the (M+1)/(M-1) correction
+    (reference: credit/verification/ensemble.py:14-45)."""
+    import jax.numpy as jnp
+
+    from credit_tpu.metrics import spread_error_regional
+
+    rng = np.random.default_rng(0)
+    lats = np.linspace(90, -90, 19)  # 10-deg grid, descending like ERA5
+    target = np.zeros((1, 19, 36, 2), np.float32)
+    m = 4
+    ens = np.zeros((1, m, 19, 36, 2), np.float32)
+    # constant ensemble spread of 1 everywhere (members at +-1, +-1)
+    ens[:, 0] += 1.0
+    ens[:, 1] -= 1.0
+    ens[:, 2] += 1.0
+    ens[:, 3] -= 1.0
+    # mean error only in the tropics rows (|lat| < 24.5)
+    trop = np.abs(lats) < 24.5
+    target[:, trop] += 2.0
+    out = spread_error_regional(jnp.asarray(target), jnp.asarray(ens), lats)
+    np.testing.assert_allclose(out["rmse_tropics"], 2.0, rtol=1e-5)
+    assert out["rmse_n_extratropics"] < 1e-6
+    assert out["rmse_s_extratropics"] < 1e-6
+    # std: population std of [+1,-1,+1,-1] = 1, corrected by (m+1)/(m-1)
+    np.testing.assert_allclose(out["std_global"], (m + 1) / (m - 1), rtol=1e-5)
