@@ -276,22 +276,32 @@ def cmd_plot(args):
             arr = arr[0]
         return var, arr
 
+    from credit_tpu.visualization import (colormap_extend,
+                                          convert_for_display, draw_field,
+                                          panel_grid, pick_colormap,
+                                          round_range, variable_range)
+
     files = sorted(args.files)
     if len(files) > 1 or args.animate:
         from matplotlib import animation as manim
 
         var, first = field(files[0], args.var)
-        frames = [field(f, var)[1] for f in files]
-        vmax = max(np.abs(f).max() for f in frames)
+        frames = [convert_for_display(var, field(f, var)[1])[0]
+                  for f in files]
+        units = convert_for_display(var, first)[1]
+        vmin, vmax = round_range(*variable_range(np.stack(frames)))
         fig, ax = plt.subplots(figsize=(8, 4))
-        im = ax.imshow(frames[0], aspect="auto", cmap="RdBu_r",
-                       vmin=-vmax, vmax=vmax)
-        fig.colorbar(im, ax=ax)
+        im = ax.imshow(frames[0], aspect="auto", cmap=pick_colormap(var),
+                       vmin=vmin, vmax=vmax)
+        fig.colorbar(im, ax=ax, extend=colormap_extend(
+            (min(f.min() for f in frames), max(f.max() for f in frames)),
+            (vmin, vmax)))
         title = ax.set_title("")
+        label = f"{var} [{units}]" if units else var
 
         def update(i):
             im.set_data(frames[i])
-            title.set_text(f"{var} — {os.path.basename(files[i])}")
+            title.set_text(f"{label} — {os.path.basename(files[i])}")
             return [im, title]
 
         ani = manim.FuncAnimation(fig, update, frames=len(frames))
@@ -299,11 +309,23 @@ def cmd_plot(args):
         ani.save(out, writer=manim.PillowWriter(fps=args.fps))
         print(out)
         return 0
-    var, arr = field(files[0], args.var)
-    fig, ax = plt.subplots(figsize=(8, 4))
-    im = ax.imshow(arr, aspect="auto", cmap="RdBu_r")
-    fig.colorbar(im, ax=ax)
-    ax.set_title(f"{var} — {os.path.basename(files[0])}")
+    ds = open_dataset(files[0])
+    names = ([args.var] if args.var else
+             [k for k in ds.keys()][:6])  # panel up to 6 vars (reference
+    # visualization_tools.figure_panel_planner)
+    rows, cols = panel_grid(len(names))
+    fig, axes = plt.subplots(rows, cols, figsize=(6.5 * cols, 3.5 * rows),
+                             squeeze=False)
+    for i, name in enumerate(names):
+        arr = np.asarray(ds[name].values)
+        while arr.ndim > 2:
+            arr = arr[0]
+        ax = axes[i // cols][i % cols]
+        im = draw_field(ax, arr, name)
+        fig.colorbar(im, ax=ax)
+    for j in range(len(names), rows * cols):
+        axes[j // cols][j % cols].axis("off")
+    var = names[0]
     out = args.out or (os.path.splitext(files[0])[0] + f"_{var}.png")
     fig.savefig(out, dpi=120, bbox_inches="tight")
     print(out)
@@ -396,6 +418,51 @@ def cmd_rollout_metrics(args):
                                n_members=args.members,
                                perturbation=args.perturbation)
     print(json.dumps(rows, indent=1))
+    return 0
+
+
+def cmd_solar(args):
+    """Precompute accumulated TOA solar radiation (TSI forcing) files over
+    a date range (reference: applications/calc_global_solar.py — MPI
+    rank-strided; here --rank/--world stride times the same way, one
+    process per submit-generated task)."""
+    import numpy as np
+
+    from credit_tpu.data.timeclock import TimeClock
+    from credit_tpu.physics.solar import tisr_accumulated
+    from credit_tpu.utils.ncio import Dataset, Variable
+
+    lat = np.linspace(90.0, -90.0, args.nlat)
+    lon = np.arange(args.nlon) * (360.0 / args.nlon)
+    clock = TimeClock(args.start, args.end, args.step, args.calendar,
+                      history_len=1, num_forecast_steps=0)
+    times = list(clock.all_times)
+    os.makedirs(args.out, exist_ok=True)
+    import datetime as _dt
+
+    period = float(args.step.rstrip("hH")) if args.step[-1] in "hH" else 1.0
+    written = []
+    from credit_tpu.data.tisr import _doy_hour
+
+    for i in range(args.rank, len(times), args.world):
+        t = times[i]
+        doy, hour = _doy_hour(t)
+        when = _dt.datetime(2001, 1, 1) + _dt.timedelta(days=doy - 1,
+                                                        hours=hour)
+        field = np.asarray(tisr_accumulated(lat, lon, when, period,
+                                            tsi=args.tsi), np.float32)
+        stamp = str(t).replace(" ", "_").replace(":", "")
+        path = os.path.join(args.out, f"{args.var}_{stamp}.nc")
+        Dataset({args.var: Variable(("time", "lat", "lon"), field[None],
+                                    {"units": "J m**-2",
+                                     "long_name": "TOA incident solar "
+                                                  "radiation (accumulated)"})},
+                coords={"time": np.array([float(i)]), "lat": lat,
+                        "lon": lon},
+                attrs={"calendar": args.calendar}).to_netcdf(path)
+        written.append(path)
+    print(json.dumps({"files": len(written), "rank": args.rank,
+                      "world": args.world}))
     return 0
 
 
@@ -587,6 +654,20 @@ def build_parser():
     sp.add_argument("--combos", default=None,
                     help="comma list of dpxtpxdomain, e.g. 1x1x1,2x1x2")
     sp.set_defaults(fn=cmd_benchmark)
+
+    sp = sub.add_parser("solar", help="precompute TSI solar-forcing files")
+    sp.add_argument("--start", default="2000-01-01")
+    sp.add_argument("--end", default="2000-01-02")
+    sp.add_argument("--step", default="6h")
+    sp.add_argument("--calendar", default="standard")
+    sp.add_argument("--nlat", type=int, default=181)
+    sp.add_argument("--nlon", type=int, default=360)
+    sp.add_argument("--tsi", type=float, default=1361.0)
+    sp.add_argument("--var", default="tsi")
+    sp.add_argument("--out", default="./solar")
+    sp.add_argument("--rank", type=int, default=0)
+    sp.add_argument("--world", type=int, default=1)
+    sp.set_defaults(fn=cmd_solar)
 
     sp = sub.add_parser("serve", help="HTTP forecast server")
     sp.add_argument("config")

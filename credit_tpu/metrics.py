@@ -65,6 +65,19 @@ class LatWeightedMetrics:
         return out
 
 
+class UnWeightedMetrics(LatWeightedMetrics):
+    """Per-variable ACC/RMSE/MSE/MAE WITHOUT latitude weighting — for
+    regional datasets on projected grids where cos(lat) area weights do
+    not apply (reference: credit/metrics_downscaling.py:8
+    UnWeightedMetrics, same math with w_lat=None)."""
+
+    def __init__(self, var_names: Optional[Sequence[str]] = None,
+                 climatology: Optional[jnp.ndarray] = None):
+        self.w = jnp.ones((1, 1), jnp.float32)
+        self.var_names = list(var_names) if var_names else None
+        self.climatology = climatology
+
+
 def spread_error(target: jnp.ndarray, pred_ens: jnp.ndarray, w=None):
     """(spread, rmse of ensemble mean) — reference verification/ensemble.py:14."""
     mean = pred_ens.mean(axis=1)

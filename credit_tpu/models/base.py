@@ -36,6 +36,8 @@ def frames_to_channels(x: jnp.ndarray) -> jnp.ndarray:
     (index = c*T + t), matching the reference's reshape of (B, C, T, H, W)
     to (B, C*T, H, W) (crossformer.py:696-701)."""
     b, t, h, w, c = x.shape
+    if t == 1:  # pure reshape — keep XLA from emitting a transpose copy
+        return x.reshape(b, h, w, c)
     return jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(b, h, w, c * t)
 
 
@@ -44,5 +46,7 @@ def channels_to_frames(x: jnp.ndarray, out_frames: int) -> jnp.ndarray:
     reference's view(b, c_base, t_out, h, w) (crossformer.py:726)."""
     b, h, w, ct = x.shape
     c = ct // out_frames
+    if out_frames == 1:  # pure reshape — no transpose copy
+        return x.reshape(b, 1, h, w, c)
     x = x.reshape(b, h, w, c, out_frames)
     return jnp.transpose(x, (0, 4, 1, 2, 3))

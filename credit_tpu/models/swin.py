@@ -66,6 +66,20 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class _QKVKernel(nn.Module):
+    """Holds the combined qkv projection kernel at the same param path /
+    init as `nn.Dense(features, name="qkv")`, but returns the KERNEL so
+    the caller can run per-output-slice GEMMs (avoids materializing the
+    concatenated qkv activation)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (x.shape[-1], self.features))
+
+
 class WindowAttentionV2(nn.Module):
     dim: int
     num_heads: int
@@ -78,13 +92,19 @@ class WindowAttentionV2(nn.Module):
         nb, t, c = xw.shape
         h = self.num_heads
         dh = c // h
-        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(xw)
+        # three GEMMs against static column slices of one `qkv` kernel —
+        # bit-identical to Dense(3c) + jnp.split but the concatenated qkv
+        # never round-trips HBM (see models.layers.SNDense.split_outputs);
+        # param path stays `qkv/kernel` for the torch converter
+        qkv_kernel = _QKVKernel(3 * c, name="qkv")(xw)
         # SwinV2: separate bias for q and v only
         q_bias = self.param("q_bias", nn.initializers.zeros_init(), (c,))
         v_bias = self.param("v_bias", nn.initializers.zeros_init(), (c,))
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q + q_bias.astype(self.dtype)
-        v = v + v_bias.astype(self.dtype)
+        xq = xw.astype(self.dtype)
+        kq = qkv_kernel.astype(self.dtype)
+        q = xq @ kq[:, :c] + q_bias.astype(self.dtype)
+        k = xq @ kq[:, c:2 * c]
+        v = xq @ kq[:, 2 * c:] + v_bias.astype(self.dtype)
         q = q.reshape(nb, t, h, dh)
         k = k.reshape(nb, t, h, dh)
         v = v.reshape(nb, t, h, dh)

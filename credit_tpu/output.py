@@ -78,3 +78,78 @@ def save_netcdf_increment(flat: np.ndarray, schema: ChannelSchema, grid: Grid,
     path = os.path.join(out_dir, f"pred_{init_label}_{forecast_hour:03d}.nc")
     ds.to_netcdf(path)
     return path
+
+
+class TemplateWriter:
+    """Template-based writer for regional/downscaling output.
+
+    Regional (projected-grid) forecasts carry coordinate/projection
+    metadata that is easiest to preserve by copying a template file and
+    replacing the data variables (reference:
+    credit/output_downscaling.py:81 OutputWriter — template netCDF, keep
+    listed prognostic/diagnostic vars, stamp new time coords).
+    """
+
+    def __init__(self, template_path: str, out_vars, zstride: int = 1):
+        self.out_vars = [v for v in (out_vars or [])]
+        self.noop = not self.out_vars
+        if self.noop:
+            return
+        from credit_tpu.utils.ncio import open_dataset
+
+        t = open_dataset(template_path)
+        names = (list(t.data_vars) if hasattr(t, "data_vars") else
+                 list(t.keys()))
+        self.var_meta = {}
+        for name in names:
+            if name in self.out_vars:
+                v = t[name]
+                self.var_meta[name] = (tuple(v.dims), dict(v.attrs))
+        coords = t.coords
+        self.coords = {k: np.asarray(coords[k]) for k in coords
+                       if k != "time"}
+        self.zstride = zstride
+
+    def write(self, data: Dict[str, np.ndarray], newtime: dict,
+              output_path: str) -> Optional[str]:
+        """data: {var: array matching the template var's dims}; newtime:
+        {"time": array, "units": str, "calendar": str}."""
+        if self.noop:
+            return None
+        from credit_tpu.utils.ncio import Dataset, Variable
+
+        data_vars = {}
+        for name, (dims, attrs) in self.var_meta.items():
+            if name not in data:
+                continue
+            arr = np.asarray(data[name])
+            if self.zstride != 1 and "z" in dims:
+                arr = arr[:, ::self.zstride]
+            data_vars[name] = Variable(dims, arr, attrs)
+        coords = dict(self.coords)
+        coords["time"] = np.asarray(newtime.get("time", [0.0]))
+        ds = Dataset(data_vars, coords,
+                     {"time_units": newtime.get("units", ""),
+                      "time_calendar": newtime.get("calendar", "standard")})
+        ds.to_netcdf(output_path)
+        return output_path
+
+
+def write_downscaling_outputs(datadict: Dict[str, Dict[str, np.ndarray]],
+                              writers: Dict[str, "TemplateWriter"],
+                              newtime: dict, output_dir: str,
+                              datestamp: str, prefix: str = "") -> list:
+    """Route per-dataset variable dicts to their template writers
+    (reference: credit/output_downscaling.py:27 OutputWrangler.process —
+    one `<prefix>.<dataset>.<datestamp>.nc` per source dataset)."""
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    for dset, data in datadict.items():
+        w = writers.get(dset)
+        if w is None or w.noop:
+            continue
+        fname = ".".join(p for p in (prefix, dset, datestamp, "nc") if p)
+        path = w.write(data, newtime, os.path.join(output_dir, fname))
+        if path:
+            written.append(path)
+    return written

@@ -74,9 +74,49 @@ class ForecastService:
                 "shapes": [list(o.shape) for o in outs[:1]]}
 
 
+def get_saved_field(data_path: str, run_date: str, forecast_hour: int,
+                    variable: str, level: int | None = None,
+                    smooth: float = 0.0) -> dict:
+    """Serve one field from a SAVED rollout tree as a base64 payload
+    (reference: applications/data_server.py:35-71 — per run_date/fhr
+    netCDF lookup, level selection, optional gaussian smoothing,
+    {status, data, dtype, shape} response for map frontends)."""
+    import base64
+    import os
+
+    from credit_tpu.utils.ncio import open_dataset
+
+    path = os.path.join(data_path, run_date,
+                        f"pred_{run_date}_{forecast_hour:03d}.nc")
+    if not os.path.exists(path):
+        return {"status": f"File {path} not found.", "data": "",
+                "dtype": "<f4", "shape": [0, 0]}
+    ds = open_dataset(path)
+    if variable not in ds:
+        return {"status": f"Variable {variable} not in {path}.", "data": "",
+                "dtype": "<f4", "shape": [0, 0]}
+    v = ds[variable]
+    arr = np.asarray(v.values)
+    dims = tuple(v.dims)
+    if "time" in dims:
+        arr = arr[0]
+        dims = dims[1:]
+    if arr.ndim == 3:  # (level, lat, lon)
+        arr = arr[int(level or 0)]
+    if smooth > 0:
+        from scipy.ndimage import gaussian_filter
+
+        arr = gaussian_filter(arr, smooth)
+    arr = np.ascontiguousarray(arr, np.float32)
+    return {"status": "ok",
+            "data": base64.b64encode(arr.tobytes()).decode("utf-8"),
+            "dtype": arr.dtype.str, "shape": list(arr.shape)}
+
+
 def serve(conf: dict, host: str = "127.0.0.1", port: int = 8000,
           service: ForecastService | None = None):
     svc = service or ForecastService(conf)
+    data_path = conf.get("predict", {}).get("save_forecast", ".")
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, payload):
@@ -91,6 +131,26 @@ def serve(conf: dict, host: str = "127.0.0.1", port: int = 8000,
             if self.path == "/health":
                 self._json(200, {"status": "ok",
                                  "load_seconds": svc.load_seconds})
+            elif self.path.startswith("/field"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+
+                def one(key, default=None, cast=str):
+                    vals = q.get(key)
+                    return cast(vals[0]) if vals else default
+
+                try:
+                    self._json(200, get_saved_field(
+                        data_path,
+                        run_date=one("run_date", ""),
+                        forecast_hour=one("forecast_hour", 1, int),
+                        variable=one("variable", ""),
+                        level=one("level", None, int),
+                        smooth=one("smooth", 0.0, float)))
+                except Exception as e:  # noqa: BLE001 - surface as 500
+                    logger.exception("field lookup failed")
+                    self._json(500, {"error": str(e)})
             else:
                 self._json(404, {"error": "not found"})
 

@@ -784,9 +784,18 @@ def load_trainer(conf: dict):
     # gen1-era and domain trainer names collapse onto the gen2 trainer (their
     # deltas are config-driven here: ensemble_size, backprop_on_timestep,
     # regional models); diffusion keeps its own step functions
-    aliases = {"era5-gen1": "era5", "era5-ensemble": "era5-v2",
-               "era5-ensemble-v2": "era5-v2", "universal": "era5-v2",
-               "les": "era5-v2", "wrf": "era5-v2", "samudra": "era5-v2",
+    # every reference trainer key (credit/trainers/__init__.py:7-78)
+    # resolves here; the per-domain classes' deltas are config-driven in
+    # this design (ensemble_size, regional models, dataset transforms)
+    aliases = {"era5-gen1": "era5", "cam": "era5",
+               "gen2": "era5-v2", "era5-gen2": "era5-v2",
+               "era5-ensemble": "era5-v2", "era5-ensemble-v2": "era5-v2",
+               "universal": "era5-v2",
+               "les": "era5-v2", "standard-les": "era5-v2",
+               "wrf": "era5-v2", "standard-wrf": "era5-v2",
+               "multi-step-wrf": "era5-v2",
+               "conus404": "era5-v2", "downscaling": "era5-v2",
+               "samudra": "era5-v2",
                "era5-ic-opt": "ic-opt"}
     name = aliases.get(ttype, ttype)
     try:

@@ -99,3 +99,25 @@ def test_train_rollout_metrics_summary_roundtrip(tmp_path, monkeypatch):
     assert main(["metrics", conf, *(str(fdir / f) for f in files)]) == 0
     assert main(["preprocess", conf, "--samples", "4"]) == 0
     assert os.path.exists(tmp_path / "exp" / "normalization.npz")
+
+
+def test_cli_solar_precompute(tmp_path, monkeypatch):
+    """`credit-tpu solar` writes rank-strided TSI forcing files
+    (reference: applications/calc_global_solar.py)."""
+    import numpy as np
+
+    from credit_tpu.cli.main import main
+    from credit_tpu.utils.ncio import open_dataset
+
+    out = tmp_path / "solar"
+    assert main(["solar", "--start", "2000-06-01", "--end",
+                 "2000-06-01 18:00", "--step", "6h", "--nlat", "19",
+                 "--nlon", "36", "--out", str(out), "--world", "2",
+                 "--rank", "1"]) == 0
+    files = sorted(out.iterdir())
+    assert len(files) == 2  # times 1 and 3 of 4
+    ds = open_dataset(str(files[0]))
+    tsi = np.asarray(ds["tsi"].values)
+    assert tsi.shape == (1, 19, 36)
+    assert np.all(tsi >= 0) and tsi.max() > 1e5  # J/m^2 over 6h, daylit side
+    assert ds["tsi"].attrs.get("units") == "J m**-2"

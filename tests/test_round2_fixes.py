@@ -271,3 +271,16 @@ def test_rollout_engine_fold_parity():
     for a, b in zip(y1, y2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-5, atol=3e-5)
+
+
+def test_all_reference_trainer_keys_resolve():
+    """Every trainer key the reference registry accepts
+    (credit/trainers/__init__.py:7-78) must load a trainer class here."""
+    from credit_tpu.trainers.trainer import load_trainer
+
+    keys = ["era5-gen1", "era5", "gen2", "era5-gen2", "era5-diffusion",
+            "era5-ensemble", "cam", "ic-opt", "conus404", "standard-les",
+            "standard-wrf", "multi-step-wrf", "samudra"]
+    for k in keys:
+        cls = load_trainer({"trainer": {"type": k}})
+        assert cls is not None, k
