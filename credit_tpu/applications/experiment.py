@@ -19,23 +19,21 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def build_experiment(conf: dict) -> Dict[str, Any]:
-    import jax
+def build_data(conf: dict) -> Dict[str, Any]:
+    """Model-free data assembly: schema, grid, normalizer, datasets.
 
-    from credit_tpu.config import model_channel_check
+    Serves data-only configs (no `model` section) exactly like the
+    reference's preprocessing path, which builds datasets without ever
+    touching the model (reference: applications/preprocess.py)."""
     from credit_tpu.data.channels import ChannelSchema
     from credit_tpu.data.local import load_dataset
     from credit_tpu.data.normalize import Normalizer
     from credit_tpu.grid import grid_from_conf
-    from credit_tpu.losses import WeightedLoss
-    from credit_tpu.models import load_model
     from credit_tpu.registry import load_custom_objects
 
     load_custom_objects(conf)
     schema = ChannelSchema.from_config(conf)
     grid = grid_from_conf(conf)
-    model_channel_check(conf, schema)
-    model = load_model(conf)
 
     data = conf.get("data", {}) or {}
     if data.get("mean_path") and data.get("std_path") and os.path.exists(data["mean_path"]):
@@ -45,13 +43,23 @@ def build_experiment(conf: dict) -> Dict[str, Any]:
 
     dataset = load_dataset(conf, schema, grid, "train")
     valid = load_dataset(conf, schema, grid, "valid") if conf.get("data_valid") else None
-
-    loss = WeightedLoss.from_config(conf, grid)
-    vloss = WeightedLoss.from_config(conf, grid, validation=True)
     return {
-        "schema": schema, "grid": grid, "model": model, "normalizer": normalizer,
-        "dataset": dataset, "valid_dataset": valid, "loss": loss, "valid_loss": vloss,
+        "schema": schema, "grid": grid, "normalizer": normalizer,
+        "dataset": dataset, "valid_dataset": valid,
     }
+
+
+def build_experiment(conf: dict) -> Dict[str, Any]:
+    from credit_tpu.config import model_channel_check
+    from credit_tpu.losses import WeightedLoss
+    from credit_tpu.models import load_model
+
+    out = build_data(conf)
+    model_channel_check(conf, out["schema"])
+    out["model"] = load_model(conf)
+    out["loss"] = WeightedLoss.from_config(conf, out["grid"])
+    out["valid_loss"] = WeightedLoss.from_config(conf, out["grid"], validation=True)
+    return out
 
 
 def run_training(conf: dict, seed: Optional[int] = None):

@@ -159,10 +159,13 @@ def cmd_preprocess(args):
     applications/preprocess.py)."""
     import numpy as np
 
-    from credit_tpu.applications.experiment import build_experiment
+    from credit_tpu.applications.experiment import build_data
+    from credit_tpu.config import load_config
 
-    conf = _load(args)
-    exp = build_experiment(conf)
+    # data-only configs (no `model` section) are valid here, matching the
+    # reference whose preprocess never touches the model
+    conf = load_config(args.config, require_model=False)
+    exp = build_data(conf)
     ds, schema = exp["dataset"], exp["schema"]
     n = min(len(ds) - 2, args.samples)
     xs, ys = [], []

@@ -16,14 +16,21 @@ from typing import Any, Dict
 import yaml
 
 
-def load_config(path_or_dict) -> Dict[str, Any]:
+def load_config(path_or_dict, require_model: bool = True) -> Dict[str, Any]:
+    """Load + validate a config.
+
+    require_model=False admits data-only configs (no `model` section) — the
+    reference ships such configs for the preprocessing/scaler-fitting path
+    (e.g. config/gen_2/examples/weatherbench2_era5_wxformer.yml) and its
+    preprocess application never touches the model.
+    """
     if isinstance(path_or_dict, dict):
         conf = copy.deepcopy(path_or_dict)
     else:
         with open(path_or_dict) as f:
             conf = yaml.safe_load(f)
     conf = convert_legacy(conf)
-    validate(conf)
+    validate(conf, require_model=require_model)
     return conf
 
 
@@ -56,10 +63,11 @@ def convert_legacy(conf: dict) -> dict:
     return conf
 
 
-def validate(conf: dict) -> None:
+def validate(conf: dict, require_model: bool = True) -> None:
     errors = []
     if "model" not in conf:
-        errors.append("missing 'model' section")
+        if require_model:
+            errors.append("missing 'model' section")
     else:
         m = conf["model"]
         if "type" not in m:

@@ -113,12 +113,28 @@ class Grid:
 
 
 def grid_from_conf(conf: dict) -> Grid:
-    """Build a Grid from the model section of a gen2-style config."""
-    m = conf["model"]
-    nlat = int(m["image_height"])
-    nlon = int(m["image_width"])
+    """Build a Grid from a gen2-style config.
+
+    Dims come from the model section when present; data-only configs
+    (no `model`, e.g. the reference's preprocessing configs) instead carry
+    a per-source `resolution: "WxH"` field (reference:
+    config/gen_2/examples/weatherbench2_era5_wxformer.yml)."""
+    sources = conf.get("data", {}).get("source") or {}
+    m = conf.get("model")
+    if m is not None:
+        nlat = int(m["image_height"])
+        nlon = int(m["image_width"])
+    else:
+        res = next((s["resolution"] for s in sources.values()
+                    if s.get("resolution")), None)
+        if res is None:
+            raise ValueError(
+                "config has no 'model' section and no data source declares a "
+                "'resolution: \"WxH\"' — cannot determine grid dimensions")
+        w, h = str(res).lower().split("x")
+        nlat, nlon = int(h), int(w)
     levels = None
-    for src in (conf.get("data", {}).get("source") or {}).values():
+    for src in sources.values():
         if "levels" in src:
             levels = src["levels"]
             break

@@ -101,6 +101,29 @@ def test_train_rollout_metrics_summary_roundtrip(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "exp" / "normalization.npz")
 
 
+def test_preprocess_accepts_data_only_config(tmp_path, monkeypatch):
+    """Data-only configs (no `model` section) work for preprocessing, like
+    the reference's weatherbench2_era5_wxformer.yml (grid dims come from the
+    source's resolution field)."""
+    monkeypatch.chdir(tmp_path)
+    conf = {
+        "save_loc": str(tmp_path / "exp"),
+        "data": {"source": {"E": {"resolution": "16x8", "levels": [0.0],
+                                  "variables": {"prognostic": {
+                                      "vars_2D": ["T", "SP"]}}}},
+                 "history_len": 1, "forecast_len": 1, "n_times": 12},
+    }
+    p = tmp_path / "donly.yml"
+    yaml.safe_dump(conf, open(p, "w"))
+    assert main(["preprocess", str(p), "--samples", "4"]) == 0
+    assert os.path.exists(tmp_path / "exp" / "normalization.npz")
+    # train on the same config must still fail loudly (model required)
+    from credit_tpu.config import load_config
+
+    with pytest.raises(ValueError):
+        load_config(str(p))
+
+
 def test_cli_solar_precompute(tmp_path, monkeypatch):
     """`credit-tpu solar` writes rank-strided TSI forcing files
     (reference: applications/calc_global_solar.py)."""
