@@ -62,7 +62,14 @@ def run_rollout_metrics(conf: dict, n_steps: Optional[int] = None,
         jnp.asarray(dataset.input_at(t0)[None])))
     key = jax.random.PRNGKey(int(conf.get("seed", 0)))
 
-    if perturbation == "spherical":
+    if perturbation == "model":
+        # noisy-MODEL ensembles (reference:
+        # applications/rollout_metrics_noisy_model.py:333 repeat_interleave):
+        # every member starts from the SAME x0; spread comes from the model's
+        # own stochasticity (SDL noise layers / stochastic postblocks), seeded
+        # differently per member below.
+        members = [x0 for _ in range(n_members)]
+    elif perturbation == "spherical":
         noise = SphericalNoise(exp["grid"], std=amplitude)
         members = [noise(k, x0) for k in jax.random.split(key, n_members)]
     elif perturbation == "bred":
@@ -81,7 +88,8 @@ def run_rollout_metrics(conf: dict, n_steps: Optional[int] = None,
     # roll each member; stack predictions per step
     per_member = []
     for m, xm in enumerate(members):
-        engine._states = {}
+        engine.reset(batch_size=xm.shape[0],
+                     seed=int(conf.get("seed", 0)) * 1000 + m + 1)
         outs = engine.run(xm, n_steps,
                           forcing_provider=lambda s: None
                           if dataset.forcing_at(t0 + s) is None

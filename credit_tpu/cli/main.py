@@ -634,7 +634,8 @@ def build_parser():
     sp.add_argument("config")
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--members", type=int, default=None)
-    sp.add_argument("--perturbation", choices=["gaussian", "spherical", "bred"],
+    sp.add_argument("--perturbation",
+                    choices=["gaussian", "spherical", "bred", "model"],
                     default=None)
     sp.set_defaults(fn=cmd_rollout_metrics)
 
