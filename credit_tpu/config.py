@@ -11,9 +11,36 @@ validate with focused checks that raise actionable errors.
 from __future__ import annotations
 
 import copy
+import logging
+import os
 from typing import Any, Dict
 
 import yaml
+
+logger = logging.getLogger(__name__)
+
+_KNOWN_SECTIONS = {
+    "save_loc", "seed", "data", "data_valid", "model", "loss", "trainer",
+    "predict", "preblocks", "postblocks", "custom_objects", "ensemble",
+    "diffusion", "skebs", "replay", "distributed", "pbs", "slurm", "gcloud",
+}
+
+_PATH_KEYS = ("save_loc", "path", "mean_path", "std_path", "save_forecast",
+              "climatology", "static_path", "param_file")
+
+
+def _expand_paths(node):
+    """In-place $VAR / ${VAR} expansion on path-like keys (reference:
+    credit/parser.py expands $USER etc. in save_loc and data paths)."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k in _PATH_KEYS and isinstance(v, str):
+                node[k] = os.path.expandvars(v)
+            else:
+                _expand_paths(v)
+    elif isinstance(node, list):
+        for v in node:
+            _expand_paths(v)
 
 
 def load_config(path_or_dict, require_model: bool = True) -> Dict[str, Any]:
@@ -30,6 +57,10 @@ def load_config(path_or_dict, require_model: bool = True) -> Dict[str, Any]:
         with open(path_or_dict) as f:
             conf = yaml.safe_load(f)
     conf = convert_legacy(conf)
+    _expand_paths(conf)
+    for key in conf:
+        if key not in _KNOWN_SECTIONS:
+            logger.warning("unknown config section %r (typo?)", key)
     validate(conf, require_model=require_model)
     return conf
 
@@ -82,11 +113,27 @@ def validate(conf: dict, require_model: bool = True) -> None:
                 errors.append(f"data.source.{name}.variables is required")
             elif "prognostic" not in variables:
                 errors.append(f"data.source.{name}.variables needs a 'prognostic' group")
-    p = (conf.get("trainer", {}) or {}).get("parallelism")
+    t = conf.get("trainer", {}) or {}
+    p = t.get("parallelism")
     if p:
         for k in ("tensor", "domain"):
             if k in p and p[k] not in (None, "none") and int(p[k]) < 1:
                 errors.append(f"trainer.parallelism.{k} must be >= 1")
+    for k in ("learning_rate",):
+        if k in t and float(t[k]) <= 0:
+            errors.append(f"trainer.{k} must be positive")
+    for k in ("train_batch_size", "valid_batch_size", "num_epoch",
+              "grad_accum_steps"):
+        if k in t and int(t[k]) < 1:
+            errors.append(f"trainer.{k} must be >= 1")
+    d = conf.get("data", {}) or {}
+    for k in ("history_len", "forecast_len"):
+        if k in d and int(d[k]) < 1:
+            errors.append(f"data.{k} must be >= 1 "
+                          "(history/forecast are counted in frames)")
+    pr = conf.get("predict", {}) or {}
+    if "forecast_steps" in pr and int(pr["forecast_steps"]) < 1:
+        errors.append("predict.forecast_steps must be >= 1")
     if errors:
         raise ValueError("Invalid config:\n  - " + "\n  - ".join(errors))
 

@@ -40,6 +40,25 @@ def test_validate_rejects_bad_config():
         validate({"model": {"image_height": -1}})
 
 
+def test_config_expands_env_vars_and_validates_sections(monkeypatch):
+    """$VAR expansion in path-like keys + scalar sanity checks (reference:
+    credit/parser.py credit_main_parser expandvars + section validation)."""
+    from credit_tpu.config import load_config
+
+    monkeypatch.setenv("CREDIT_TEST_ROOT", "/tmp/credit_root")
+    c = load_config({"save_loc": "$CREDIT_TEST_ROOT/exp",
+                     "model": {"type": "debugger"},
+                     "data": {"mean_path": "${CREDIT_TEST_ROOT}/m.nc"}})
+    assert c["save_loc"] == "/tmp/credit_root/exp"
+    assert c["data"]["mean_path"] == "/tmp/credit_root/m.nc"
+    for bad in ({"trainer": {"learning_rate": 0}},
+                {"trainer": {"train_batch_size": 0}},
+                {"data": {"history_len": 0}},
+                {"predict": {"forecast_steps": 0}}):
+        with pytest.raises(ValueError):
+            load_config({"model": {"type": "debugger"}, **bad})
+
+
 def test_seed_everything_deterministic():
     from credit_tpu.utils.seed import seed_everything
 
