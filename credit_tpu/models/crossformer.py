@@ -76,6 +76,17 @@ class CrossFormer(BaseModel):
     compute_dtype: Any = jnp.float32
     remat: bool = False
     use_pallas_attention: bool = False
+    # fused Pallas FF blocks (ops/pallas_ff.py): 'auto' (on for single-chip
+    # TPU inference), 'never' (the XLA composition), 'force' (tests).
+    # Default NEVER by measurement: the kernel is 2x faster than the XLA FF
+    # in isolation, but on the flagship ANY pallas call reachable from a
+    # cross-embed conv's output (through the residual chain) flips that
+    # conv onto a ~4x slower emitter (29 -> 115 ms/step at stage-0; the
+    # fast emitter writes a blocked VMEM form XLA abandons when a custom
+    # call consumes the value downstream — see tools/bench_conv_ffk.py for
+    # the reproduction; transposes/optimization_barrier/scoped-vmem flags
+    # do not insulate it). Net effect at 0.25 deg: 142 -> 220 ms/step.
+    ff_fusion: str = "never"
     # camulator delta: zero-init 3x3 'sharp' residual conv on the decoder
     # output, EXCLUDED from spectral norm (reference camulator.py:22-26
     # apply_spectral_norm skips names containing 'sharp'; :78-94 zero-init)
@@ -128,6 +139,7 @@ class CrossFormer(BaseModel):
             x = Transformer(dims[i], depths[i], lws[i], gws[i], self.dim_head,
                             use_sn=sn, dtype=dt, remat=self.remat,
                             use_pallas=self.use_pallas_attention,
+                            ff_fuse=self.ff_fusion,
                             name=f"transformer{i}")(x, train)
             encodings.append(x)
 

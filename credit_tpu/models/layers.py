@@ -142,14 +142,17 @@ class SNDense(nn.Module, SNMixin):
     split_outputs: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_kernel: bool = False):
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
         if self.use_sn:
             kernel = self._sn_kernel(kernel, update=train)
-        x = x.astype(self.dtype)
-        acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
         bias = (self.param("bias", self.bias_init, (self.features,))
                 if self.use_bias else None)
+        if return_kernel:
+            # hand the SN-processed kernel to a fused caller (pallas FF)
+            return kernel, bias
+        x = x.astype(self.dtype)
+        acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
         # flatten to a 2-D GEMM: the TPU dot emitter runs the rank-N einsum
         # form ("...i,io") ~2.5x slower at the windowed-activation shapes
         # (measured 0.38 vs 0.15 ms on the flagship's stage-0 qkv)
@@ -183,9 +186,11 @@ class ChannelLayerNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         g = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],))
         b = self.param("bias", nn.initializers.zeros_init(), (x.shape[-1],))
+        if return_params:
+            return g, b
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
@@ -302,20 +307,59 @@ class WindowAttention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """LN -> Dense(4d) -> GELU(exact) -> Dense(d) (reference crossformer.py:234)."""
+    """x + (LN -> Dense(4d) -> GELU(exact) -> Dense(d))(x) — the FF block
+    WITH its residual (reference crossformer.py:234 FeedForward + the
+    residual add at :406).
+
+    On TPU at inference, the whole block runs as ONE fused Pallas kernel
+    (ops/pallas_ff.py): x is read once and the result written once, vs the
+    XLA path's ~1.6 GB/block HBM round-trips at flagship stage-0. Training
+    and CPU keep the XLA composition (bit-comparable; kernel accumulates in
+    f32 where the XLA bf16 path rounds, so bf16 outputs differ by ~1 ulp).
+    """
 
     dim: int
     mult: int = 4
     use_sn: bool = True
     dtype: Dtype = jnp.float32
+    # 'never' (XLA path, default — see CrossFormer.ff_fusion for the
+    # measured conv interplay) | 'auto' (single-chip TPU inference) |
+    # 'force' (CPU tests)
+    fuse: str = "never"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
-        y = SNDense(self.dim * self.mult, use_sn=self.use_sn, dtype=self.dtype, name="fc1")(y, train)
+        from credit_tpu.ops import pallas_ff
+
+        norm = ChannelLayerNorm(dtype=self.dtype, name="norm")
+        fc1 = SNDense(self.dim * self.mult, use_sn=self.use_sn,
+                      dtype=self.dtype, name="fc1")
+        fc2 = SNDense(self.dim, use_sn=self.use_sn, dtype=self.dtype,
+                      name="fc2")
+
+        c = x.shape[-1]
+        hidden = self.dim * self.mult
+        x = x.astype(self.dtype)
+        fused = ((self.fuse == "force"
+                  or (self.fuse == "auto" and pallas_ff.fuse_ok_auto()))
+                 and not train and not self.is_initializing()
+                 and pallas_ff.ff_fits_shape(x.shape, hidden,
+                                             x.dtype.itemsize))
+        if fused:
+            g, b = norm(x, return_params=True)
+            w1, b1 = fc1(x, train, return_kernel=True)
+            w2, b2 = fc2(jnp.zeros((1, hidden), x.dtype), train,
+                         return_kernel=True)
+            # pass x in its natural (B, H, W, C) form — see fused_ff's
+            # layout note
+            return pallas_ff.fused_ff_diff(
+                x, g, b, w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, False)
+        y = norm(x)
+        y = fc1(y, train)
         y = nn.gelu(y, approximate=False)
-        y = SNDense(self.dim, use_sn=self.use_sn, dtype=self.dtype, name="fc2")(y, train)
-        return y
+        y = fc2(y, train)
+        return x + y
 
 
 class Transformer(nn.Module):
@@ -331,6 +375,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     use_pallas: bool = False
+    ff_fuse: str = "never"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -339,18 +384,24 @@ class Transformer(nn.Module):
                 WindowAttention(self.dim, "short", self.local_window_size,
                                 self.dim_head, self.use_sn, self.dtype,
                                 self.use_pallas, name=f"short_attn{i}"),
-                FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype, name=f"short_ff{i}"),
+                FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype,
+                            fuse=self.ff_fuse, name=f"short_ff{i}"),
                 WindowAttention(self.dim, "long", self.global_window_size,
                                 self.dim_head, self.use_sn, self.dtype,
                                 self.use_pallas, name=f"long_attn{i}"),
-                FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype, name=f"long_ff{i}"),
+                FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype,
+                            fuse=self.ff_fuse, name=f"long_ff{i}"),
             ]
             for blk in blocks:
+                # FeedForward includes its residual (fused-kernel friendly);
+                # attention blocks still add it here
+                res = not isinstance(blk, FeedForward)
                 if self.remat:
                     # bind `train` in a closure so it stays a static Python bool
-                    x = nn.remat(lambda mdl, y: mdl(y, train))(blk, x) + x
+                    y = nn.remat(lambda mdl, z: mdl(z, train))(blk, x)
                 else:
-                    x = blk(x, train) + x
+                    y = blk(x, train)
+                x = y + x if res else y
         return x
 
 
@@ -372,6 +423,60 @@ class CrossEmbedLayer(nn.Module):
         dim_scales = [self.dim_out // (2 ** i) for i in range(1, n)]
         dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
         kmax = ks[-1]
+        kb = ks[-2] if n > 1 else kmax
+        # Quadrant decomposition of the largest scale: padding every kernel
+        # to kmax wastes taps quadratically (the flagship's 32x32-padded
+        # stage-0 embed runs 7.86M MACs/pixel where the true scales need
+        # 1.41M). Instead pad only to the SECOND-largest kernel kb and split
+        # the kmax kernel into (kmax/kb)^2 kb x kb blocks as extra output-
+        # channel groups of the same conv; the kmax output is then the sum
+        # of those groups sampled at output offsets a*kb/2 (stride 2), which
+        # is exact: out32[y,x] = sum_{a,b,u,v} X[2y + a*kb + u - p32, ...]
+        # K[a*kb+u, b*kb+v]. Needs (kmax-kb)/2 even so the offsets land on
+        # the stride-2 grid, and kb >= 8 for the space-to-depth conv path.
+        # Flagship stage-0: 2.8x fewer MACs at full 176-lane width.
+        decomp = (self.stride == 2 and all(k % 2 == 0 for k in ks) and n > 1
+                  and kmax >= 2 * kb and kmax % kb == 0
+                  and ((kmax - kb) // 2) % 2 == 0 and kb >= 8)
+        if decomp:
+            q = kmax // kb
+            p32 = (kmax - 2) // 2
+            kbs = [SNConv(d, (k, k), (2, 2), padding=(k - 2) // 2,
+                          use_sn=self.use_sn, dtype=self.dtype,
+                          return_kernel=True, name=f"conv{i}")(x, train)
+                   for i, (k, d) in enumerate(zip(ks, dim_scales))]
+            kernels, biases = [], []
+            for (kern, bias), k in zip(kbs[:-1], ks[:-1]):
+                p = (kb - k) // 2
+                kernels.append(jnp.pad(kern, ((p, p), (p, p), (0, 0), (0, 0))))
+                biases.append(bias)
+            kern_max, bias_max = kbs[-1]
+            for a in range(q):
+                for bq in range(q):
+                    kernels.append(kern_max[a * kb:(a + 1) * kb,
+                                            bq * kb:(bq + 1) * kb])
+                    # the kmax bias is added once after the quadrant sum
+                    biases.append(jnp.zeros_like(bias_max))
+            kmerged = jnp.concatenate(kernels, axis=-1).astype(self.dtype)
+            bmerged = jnp.concatenate(biases, axis=-1)
+            out = conv_ops.conv2d(x.astype(self.dtype), kmerged, bmerged,
+                                  stride=2, padding=p32)
+            e = (kmax - kb) // 4  # grid extension vs the true output
+            h2 = out.shape[1] - 2 * e
+            w2 = out.shape[2] - 2 * e
+            d_small = sum(dim_scales[:-1])
+            dmax = dim_scales[-1]
+            small = out[:, e:e + h2, e:e + w2, :d_small]
+            rec = bias_max.astype(out.dtype)
+            idx = 0
+            for a in range(q):
+                for bq in range(q):
+                    c0 = d_small + idx * dmax
+                    rec = rec + out[:, a * kb // 2:a * kb // 2 + h2,
+                                    bq * kb // 2:bq * kb // 2 + w2,
+                                    c0:c0 + dmax]
+                    idx += 1
+            return jnp.concatenate([small, rec], axis=-1)
         if self.stride == 2 and all(k % 2 == 0 for k in ks) and n > 1:
             # One fused conv for all scales. With padding (k-2)//2 every
             # scale's stride-2 output grid is identical and centered at the

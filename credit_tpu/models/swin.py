@@ -159,6 +159,9 @@ class SwinBlockV2(nn.Module):
     shift: int = 0
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    # fused Pallas MLP: default off — same conv-emitter interplay as
+    # CrossFormer.ff_fusion (FuXi's cube embed is a conv too)
+    mlp_fuse: str = "never"
 
     @nn.compact
     def __call__(self, x):
@@ -181,10 +184,33 @@ class SwinBlockV2(nn.Module):
         # SwinV2 post-norm residual
         x = x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
 
-        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(x)
+        hidden = int(c * self.mlp_ratio)
+        fc1 = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")
+        fc2 = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        from credit_tpu.ops import pallas_ff
+
+        if ((self.mlp_fuse == "force"
+             or (self.mlp_fuse == "auto" and pallas_ff.fuse_ok_auto()))
+                and not self.is_initializing()
+                and pallas_ff.ff_fits_shape(x.shape, hidden,
+                                            x.dtype.itemsize)):
+            # SwinV2 post-norm MLP as one fused Pallas kernel: x read once,
+            # result written once (see ops/pallas_ff.py). Create the params
+            # on tiny dummies (DCE'd), then hand them to the kernel.
+            _ = fc1(jnp.zeros((1, c), x.dtype))
+            _ = fc2(jnp.zeros((1, hidden), x.dtype))
+            _ = ln2(jnp.zeros((1, c), x.dtype))
+            p1, p2, pl_ = (fc1.variables["params"], fc2.variables["params"],
+                           ln2.variables["params"])
+            return pallas_ff.fused_ff_diff(
+                x, pl_["scale"], pl_["bias"],
+                p1["kernel"].astype(self.dtype), p1["bias"],
+                p2["kernel"].astype(self.dtype), p2["bias"], True)
+        y = fc1(x)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
-        x = x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
+        y = fc2(y)
+        x = x + ln2(y)
         return x
 
 

@@ -1,0 +1,272 @@
+"""Fused feed-forward Pallas kernel: LN -> fc1 -> GELU -> fc2 -> +residual.
+
+TPU-native fusion of the transformer FF block (reference
+credit/models/wxformer/crossformer.py:234 FeedForward + the residual add at
+:406). The XLA path round-trips every intermediate through HBM — x, LN(x),
+fc1 out (4x wider), GELU out, fc2 out, residual — ~1.6 GB per block at the
+flagship's stage-0 (400x720x128), measured bandwidth-bound at ~530 GB/s.
+This kernel streams token tiles through VMEM: x is read once and the result
+written once (~150 MB per block), with both GEMMs on the MXU and all
+intermediates (f32 LN stats, f32 GEMM accumulators, GELU) in registers/VMEM.
+
+Numerics: LN stats in f32 (same as ChannelLayerNorm), MXU accumulation in
+f32 (the XLA bf16 path rounds accumulators to bf16 — the kernel is slightly
+MORE accurate), GELU exact (erf).
+
+Used for inference/rollout paths only (no custom VJP yet); training keeps
+the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VMEM budget: v5e has 128 MiB of VMEM; stay well under half to leave the
+# compiler room for pipelining double-buffers (a 16.7 MB working set was
+# measured running fine at stage-1 shapes)
+_VMEM_BUDGET = 48 * 1024 * 1024
+_TM_MAX = 1024
+
+
+def _erf(x):
+    """erf from Mosaic-supported primitives (no erf/erfc lowering exists).
+
+    Abramowitz & Stegun 7.1.26 rational approximation, max abs error
+    1.5e-7 — below f32 roundoff of the surrounding GEMMs."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _ln(v, g, b):
+    mean = jnp.mean(v, axis=-1, keepdims=True)
+    var = jnp.mean((v - mean) ** 2, axis=-1, keepdims=True)
+    return (v - mean) * jax.lax.rsqrt(var + 1e-5) * g + b
+
+
+def _ff_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               *, post_norm: bool):
+    xs = x_ref[...]
+    # blocks may arrive as (1, TH, W, C) — collapse the leading (non-lane)
+    # dims to rows; Mosaic supports shape casts on non-lane dimensions
+    x = xs.reshape(-1, xs.shape[-1])
+    g = g_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    y = x.astype(jnp.float32)
+    if not post_norm:  # pre-norm (CrossFormer): x + fc2(gelu(fc1(LN(x))))
+        y = _ln(y, g, b)
+    h = jnp.dot(y.astype(x.dtype), w1_ref[...],
+                preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    # exact GELU 0.5*x*(1+erf(x/sqrt(2))) with the in-kernel erf
+    h = 0.5 * h * (1.0 + _erf(h * np.float32(1.0 / np.sqrt(2.0))))
+    o = jnp.dot(h.astype(x.dtype), w2_ref[...],
+                preferred_element_type=jnp.float32)
+    o = o + b2_ref[...].astype(jnp.float32)
+    if post_norm:  # post-norm (SwinV2): x + LN(fc2(gelu(fc1(x))))
+        o = _ln(o, g, b)
+    o_ref[...] = (x + o.astype(x.dtype)).reshape(xs.shape)
+
+
+def _vmem_use(tm: int, c: int, hidden: int, itemsize: int) -> int:
+    weights = (c * hidden + hidden * c) * itemsize
+    # double-buffered x/out tiles + f32 LN/GEMM-accumulator temporaries
+    acts = tm * (2 * c + hidden) * itemsize + tm * (c + hidden) * 4
+    return weights + 2 * acts
+
+
+def _pick_tile(m: int, c: int, hidden: int, itemsize: int) -> int | None:
+    """Pick the token-tile size: a sublane-aligned tile <= cap whose working
+    set fits the VMEM budget. Prefers exact divisors of m; otherwise the
+    largest fitting tile (the tail block is masked by Pallas)."""
+    sub = 16 if itemsize == 2 else 8
+    cap = min(_TM_MAX, max(sub, (m // sub) * sub))
+    best = None
+    for tm in range(cap, sub - 1, -sub):
+        if _vmem_use(tm, c, hidden, itemsize) >= _VMEM_BUDGET:
+            continue
+        if best is None:
+            best = tm
+        if m % tm == 0:
+            return tm
+    return best
+
+
+def _pick_rows(h: int, w: int, c: int, hidden: int, itemsize: int):
+    """4-D blocking: choose TH latitude rows per block (block (1,TH,W,C)).
+
+    TH sits above the tiled dims so any integer works; prefer divisors of h
+    (no masked tail), else the largest fitting count."""
+    best = None
+    for th in range(min(h, max(1, _TM_MAX * 2 // max(w, 1))), 0, -1):
+        if _vmem_use(th * w, c, hidden, itemsize) >= _VMEM_BUDGET:
+            continue
+        if best is None:
+            best = th
+        if h % th == 0:
+            return th
+    return best
+
+
+def ff_fits(m: int, c: int, hidden: int, itemsize: int = 2) -> bool:
+    """True when the fused kernel supports (m, c->hidden->c) at this dtype."""
+    if c % 128 or hidden % 128:
+        return False
+    return _pick_tile(m, c, hidden, itemsize) is not None
+
+
+def ff_fits_shape(shape, hidden: int, itemsize: int = 2) -> bool:
+    """Gate for an activation of the given shape (..., C)."""
+    c = shape[-1]
+    if c % 128 or hidden % 128:
+        return False
+    if len(shape) == 4:
+        return _pick_rows(shape[1], shape[2], c, hidden, itemsize) is not None
+    m = 1
+    for d in shape[:-1]:
+        m *= d
+    return _pick_tile(m, c, hidden, itemsize) is not None
+
+
+def on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (incl. tunneled devices)."""
+    try:
+        return any("TPU" in d.device_kind for d in jax.devices())
+    except Exception:
+        return False
+
+
+def fuse_ok_auto() -> bool:
+    """Auto-gating for the fused kernel: TPU backend AND a single visible
+    device. Under a multi-device GSPMD mesh a pallas_call is an opaque
+    custom call XLA cannot partition — it would force gathers of the
+    sharded activations; multi-chip runs keep the XLA path (which GSPMD
+    shards fine) until the kernel is shard_map-wrapped."""
+    try:
+        return on_tpu() and len(jax.devices()) == 1
+    except Exception:
+        return False
+
+
+def _xla_ff(x2d, g, b, w1, b1, w2, b2, post_norm=False):
+    """Reference composition (identical math, XLA ops) — used as the VJP
+    recompute path and the CPU fallback in tests."""
+
+    def ln(v):
+        vf = v.astype(jnp.float32)
+        mean = vf.mean(-1, keepdims=True)
+        var = ((vf - mean) ** 2).mean(-1, keepdims=True)
+        return ((vf - mean) * jax.lax.rsqrt(var + 1e-5)
+                * g.astype(jnp.float32) + b.astype(jnp.float32))
+
+    y = x2d if post_norm else ln(x2d).astype(x2d.dtype)
+    h = jnp.matmul(y, w1.astype(x2d.dtype),
+                   preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1.astype(jnp.float32), approximate=False)
+    o = jnp.matmul(h.astype(x2d.dtype), w2.astype(x2d.dtype),
+                   preferred_element_type=jnp.float32)
+    o = o + b2.astype(jnp.float32)
+    if post_norm:
+        o = ln(o)
+    return x2d + o.astype(x2d.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ff_diff(x2d, g, b, w1, b1, w2, b2, post_norm=False):
+    """Differentiable fused FF: Pallas kernel forward, XLA-recompute VJP
+    (the backward re-runs the cheap composition and differentiates it, like
+    rematerialization — gradients match the unfused path)."""
+    return fused_ff(x2d, g, b, w1, b1, w2, b2, post_norm=post_norm)
+
+
+def _ff_fwd(x2d, g, b, w1, b1, w2, b2, post_norm):
+    return (fused_ff(x2d, g, b, w1, b1, w2, b2, post_norm=post_norm),
+            (x2d, g, b, w1, b1, w2, b2))
+
+
+def _ff_bwd(post_norm, res, ct):
+    _, vjp = jax.vjp(lambda *a: _xla_ff(*a, post_norm=post_norm), *res)
+    return vjp(ct)
+
+
+fused_ff_diff.defvjp(_ff_fwd, _ff_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "post_norm"))
+def fused_ff(x, g, b, w1, b1, w2, b2, interpret=None,
+             post_norm: bool = False):
+    """x: (M, C) or (B, H, W, C); g,b: (C,); w1: (C, H); b1: (H,);
+    w2: (H, C); b2: (C,).
+
+    post_norm=False: x + fc2(gelu(fc1(LN(x)))) (CrossFormer pre-norm).
+    post_norm=True:  x + LN(fc2(gelu(fc1(x)))) (SwinV2/FuXi post-norm).
+
+    The 4-D form blocks over (batch, latitude-rows) and is the one to use
+    inside models: it keeps the array in its natural default layout, so XLA
+    does not re-layout upstream producers to feed the custom call (feeding a
+    reshaped 2-D view measurably flipped the stage-0 conv into a 2.5x-slower
+    layout). Caller must have checked ff_fits_shape(). interpret=None
+    auto-selects the Pallas interpreter off-TPU (CPU tests).
+    """
+    if interpret is None:
+        interpret = not on_tpu()
+    from jax.experimental import pallas as pl
+
+    c = x.shape[-1]
+    hidden = w1.shape[1]
+    itemsize = x.dtype.itemsize
+    kernel = functools.partial(_ff_kernel, post_norm=post_norm)
+
+    def row(v):  # (N,) -> (1, N) — Mosaic wants >=2-D operands
+        return v.reshape(1, -1).astype(x.dtype)
+
+    if x.ndim == 4:
+        bsz, h, w, _ = x.shape
+        th = _pick_rows(h, w, c, hidden, itemsize)
+        if th is None:
+            raise ValueError(f"no row tile for shape {x.shape}")
+        full = lambda *shape: pl.BlockSpec(shape,
+                                           lambda bi, hi: (0,) * len(shape))
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz, pl.cdiv(h, th)),
+            in_specs=[
+                pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0)),
+                full(1, c), full(1, c),
+                full(c, hidden), full(1, hidden),
+                full(hidden, c), full(1, c),
+            ],
+            out_specs=pl.BlockSpec((1, th, w, c),
+                                   lambda bi, hi: (bi, hi, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=interpret,
+        )(x, row(g), row(b), w1.astype(x.dtype), row(b1),
+          w2.astype(x.dtype), row(b2))
+
+    m, _ = x.shape
+    tm = _pick_tile(m, c, hidden, itemsize)
+    if tm is None:
+        raise ValueError(f"no tile for M={m}")
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(m, tm),),
+        in_specs=[
+            pl.BlockSpec((tm, c), lambda i: (i, 0)),
+            full(1, c), full(1, c),
+            full(c, hidden), full(1, hidden),
+            full(hidden, c), full(1, c),
+        ],
+        out_specs=pl.BlockSpec((tm, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        interpret=interpret,
+    )(x, row(g), row(b), w1.astype(x.dtype), row(b1),
+      w2.astype(x.dtype), row(b2))

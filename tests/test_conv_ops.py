@@ -123,6 +123,31 @@ def test_cross_embed_merged_matches_per_scale():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_cross_embed_quadrant_decomposition_matches_per_scale():
+    """The quadrant-decomposed largest scale (kmax split into kb x kb blocks
+    + shifted sums) must equal the per-scale convs exactly."""
+    from credit_tpu.models.layers import CrossEmbedLayer
+    from credit_tpu.ops import conv as conv_ops
+
+    x = _rand(22, (2, 16, 20, 6))
+    ks = (4, 8, 16)  # kb=8, kmax=16 -> 4 quadrants, offsets {0, 4}
+    layer = CrossEmbedLayer(dim_out=16, kernel_sizes=ks, stride=2,
+                            use_sn=False)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(variables, x)
+    p = variables["params"]
+    outs = []
+    for i, k in enumerate(ks):
+        kern = p[f"conv{i}"]["kernel"]
+        bias = p[f"conv{i}"]["bias"]
+        outs.append(conv_ops.conv2d(x, kern, bias, stride=2,
+                                    padding=(k - 2) // 2))
+    ref = jnp.concatenate(outs, axis=-1)
+    assert out.shape == ref.shape == (2, 8, 10, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_cross_embed_merged_spectral_state():
     """SN state exists per scale conv and updates in train mode even on the
     fused path (param/state tree identical to the per-scale formulation)."""

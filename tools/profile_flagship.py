@@ -29,7 +29,7 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def build(steps: int):
+def build(steps: int, ff_fusion: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +42,8 @@ def build(steps: int):
 
     model_conf = {"model": dict(CONF_025)}
     model_conf["model"]["compute_dtype"] = "bfloat16"
+    if ff_fusion:
+        model_conf["model"]["ff_fusion"] = ff_fusion
     levels, h, w = 13, 721, 1440
     conf = {**model_conf, "data": {"source": {"ERA5": {
         "levels": list(range(levels)),
@@ -140,13 +142,14 @@ def report(out_dir: str, steps: int, top: int = 40):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--ff-fusion", default=None)
     ap.add_argument("--out", default="/tmp/credit_tpu_profile")
     ap.add_argument("--report-only", action="store_true",
                     help="re-aggregate an existing capture")
     args = ap.parse_args()
     if not args.report_only:
         sys.path.insert(0, ".")
-        c, variables, x0 = build(args.steps)
+        c, variables, x0 = build(args.steps, args.ff_fusion)
         capture(c, variables, x0, args.out, args.steps)
     report(args.out, args.steps)
 
