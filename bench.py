@@ -32,6 +32,7 @@ import numpy as np
 
 N_STEPS_1DEG = 40
 N_STEPS_025 = 10
+N_STEPS_FUXI = 10
 BASELINE_STEPS_PER_S = 40.0 / 45.0  # 1-deg A100 serve midpoint
 
 # flagship 0.25-deg variant (reference scale:
@@ -59,7 +60,23 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_bench(flagship: bool, bf16: bool):
+# FuXi flagship (reference scale: config/gen_1/arXiv_2024/fuxi_6h_single_step
+# .yml model section — 640x1280, 2 input frames, 4x4x2 patches, dim 1024,
+# depth 16 SwinV2 blocks, window 7, 80-grid earth pad)
+CONF_FUXI = {
+    "type": "fuxi", "frames": 2, "frame_patch_size": 2,
+    "image_height": 640, "image_width": 1280,
+    "patch_height": 4, "patch_width": 4,
+    "levels": 16, "channels": 4, "surface_channels": 7,
+    "input_only_channels": 3, "output_only_channels": 0,
+    "dim": 1024, "num_groups": 32, "num_heads": 8, "window_size": 7,
+    "depth": 16, "use_spectral_norm": True, "interp": True,
+    "padding_conf": {"activate": True, "mode": "earth",
+                     "pad_lat": [80, 80], "pad_lon": [0, 0]},
+}
+
+
+def run_bench(flagship: bool, bf16: bool, kind: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -68,13 +85,18 @@ def run_bench(flagship: bool, bf16: bool):
     from credit_tpu.models import load_model
     from credit_tpu.rollout import make_scan_rollout
 
-    n_steps = N_STEPS_025 if flagship else N_STEPS_1DEG
-    model_conf = ({"model": dict(CONF_025)} if flagship
-                  else {"model": dict(SMOKE_MODEL_CONF["model"])})
+    kind = kind or ("025" if flagship else "1deg")
+    n_steps = {"1deg": N_STEPS_1DEG, "025": N_STEPS_025,
+               "fuxi": N_STEPS_FUXI}[kind]
+    base = {"1deg": SMOKE_MODEL_CONF["model"], "025": CONF_025,
+            "fuxi": CONF_FUXI}[kind]
+    model_conf = {"model": dict(base)}
     if bf16:
         model_conf["model"]["compute_dtype"] = "bfloat16"
-    levels = 13 if flagship else 18
-    h, w = (721, 1440) if flagship else (181, 360)
+    levels = {"1deg": 18, "025": 13, "fuxi": 16}[kind]
+    h, w = {"1deg": (181, 360), "025": (721, 1440),
+            "fuxi": (640, 1280)}[kind]
+    frames = int(model_conf["model"].get("frames", 1))
     conf = {
         **model_conf,
         "data": {
@@ -84,11 +106,15 @@ def run_bench(flagship: bool, bf16: bool):
                     "variables": {
                         "prognostic": {
                             "vars_3D": ["U", "V", "T", "Q"],
-                            "vars_2D": ["SP", "VAR_2T", "VAR_10U", "VAR_10V"],
+                            "vars_2D": ["SP", "VAR_2T", "VAR_10U", "VAR_10V"]
+                            + (["V500", "U500", "T500"]
+                               if kind == "fuxi" else []),
                         },
-                        "dynamic_forcing": {"vars_2D": ["tsi", "ci_mask"]},
+                        "dynamic_forcing": {"vars_2D": ["tsi"] + (
+                            [] if kind == "fuxi" else ["ci_mask"])},
                         "static": {"vars_2D": ["z_norm", "lsm"]},
-                        "diagnostic": {"vars_2D": [f"d{i}" for i in range(8)]},
+                        "diagnostic": {"vars_2D": [] if kind == "fuxi" else
+                                       [f"d{i}" for i in range(8)]},
                     },
                 }
             }
@@ -104,12 +130,13 @@ def run_bench(flagship: bool, bf16: bool):
         schema.n_input, model.base_input_channels)
 
     dev = jax.devices()[0]
-    tag = "0.25deg" if flagship else "1deg"
+    tag = {"1deg": "1deg", "025": "0.25deg", "fuxi": "fuxi"}[kind]
     log(f"[{tag}] device: {dev} platform={dev.platform} "
         f"compute={'bf16' if bf16 else 'fp32'}")
 
     rng = jax.random.PRNGKey(0)
-    x0 = jax.random.normal(rng, (1, 1, h, w, schema.n_input), jnp.float32) * 0.5
+    x0 = jax.random.normal(rng, (1, frames, h, w, schema.n_input),
+                           jnp.float32) * 0.5
     if bf16:
         x0 = x0.astype(jnp.bfloat16)  # carry rides bf16 end-to-end
     t0 = time.time()
@@ -143,7 +170,7 @@ def run_bench(flagship: bool, bf16: bool):
     # an N-step and a 2N-step rollout (each ending in a scalar fetch) and
     # difference them, cancelling constant dispatch+transfer overhead.
     def build(n):
-        run = make_scan_rollout(run_model, schema, n, history_len=1,
+        run = make_scan_rollout(run_model, schema, n, history_len=frames,
                                 with_forcing=False)
 
         def run_scalar(variables, x0):
@@ -218,10 +245,11 @@ def run_bench(flagship: bool, bf16: bool):
             f"({bytes_acc / steps_counted / 1e9:.2f} GB/step @ 819 GB/s)")
 
     base_gps = BASELINE_STEPS_PER_S * 181 * 360
-    metric = ("wxformer_025deg_rollout" if flagship
-              else "wxformer_1deg_40step_rollout")
-    vsb = (gridpoints_per_s / base_gps if flagship
-           else steps_per_s / BASELINE_STEPS_PER_S)
+    metric = {"025": "wxformer_025deg_rollout",
+              "1deg": "wxformer_1deg_40step_rollout",
+              "fuxi": "fuxi_640x1280_rollout"}[kind]
+    vsb = (steps_per_s / BASELINE_STEPS_PER_S if kind == "1deg"
+           else gridpoints_per_s / base_gps)
     print(json.dumps({
         "metric": metric,
         "value": round(steps_per_s, 3),
@@ -234,9 +262,12 @@ def main():
     bf16 = "--fp32" not in sys.argv
     both = "--all" in sys.argv
     only_1deg = "--1deg" in sys.argv
+    only_fuxi = "--fuxi" in sys.argv
     if both or only_1deg:
         run_bench(flagship=False, bf16=bf16)
-    if both or not only_1deg:
+    if only_fuxi or both:
+        run_bench(flagship=False, bf16=bf16, kind="fuxi")
+    if both or not (only_1deg or only_fuxi):
         run_bench(flagship=True, bf16=bf16)
 
 

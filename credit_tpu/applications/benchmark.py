@@ -75,28 +75,53 @@ def benchmark_parallelism(conf: dict,
                                            is_leaf=lambda l: hasattr(l, "shape"))),
                 step=jax.device_put(state.step, rep))
             batch = {"x": jax.device_put(x, bshard), "y": jax.device_put(y, bshard)}
-            step_fn = jax.jit(make_train_step(model, loss_fn, optimizer, schema, 1))
-            # modeled FLOPs/bytes for MFU + roofline columns (best-effort)
+            raw_step = make_train_step(model, loss_fn, optimizer, schema, 1)
+
+            # K steps inside ONE jitted scan, synced by a single host fetch:
+            # per-dispatch overhead (seconds through a remote-TPU tunnel)
+            # would otherwise dominate, and block_until_ready returns at
+            # enqueue there. Timing = difference of K and 2K runs.
+            def build(k):
+                def body(c, i):
+                    s, m = raw_step(c, batch, jax.random.fold_in(
+                        jax.random.PRNGKey(1), i))
+                    return s, m["loss"]
+
+                def run(st):
+                    st2, losses = jax.lax.scan(body, st, jnp.arange(k))
+                    return losses[-1]
+
+                return jax.jit(run)
+
+            rK, r2K = build(steps), build(2 * steps)
+            # modeled FLOPs/bytes for MFU + roofline columns (best-effort);
+            # execute the SAME AOT objects afterwards (lower().compile()
+            # does not populate the jit cache)
             flops = bytes_acc = None
+            t0 = time.time()
             try:
-                ca = step_fn.lower(state, batch, jax.random.PRNGKey(1)
-                                   ).compile().cost_analysis()
+                cK = rK.lower(state).compile()
+                c2K = r2K.lower(state).compile()
+                rK, r2K = cK, c2K
+                ca = cK.cost_analysis()
                 ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                # scan body counted once regardless of trip count
                 flops = float(ca.get("flops", 0.0)) or None
                 bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
             except Exception:
                 pass
-            rng = jax.random.PRNGKey(1)
-            t0 = time.time()
-            for _ in range(warmup):
-                state, metrics = step_fn(state, batch, rng)
-            jax.block_until_ready(metrics)
+            loss = float(rK(state))  # compile (if not AOT) + warm
+            float(r2K(state))
             compile_s = time.time() - t0
             t0 = time.time()
-            for _ in range(steps):
-                state, metrics = step_fn(state, batch, rng)
-            loss = float(metrics["loss"])  # sync point
-            dt = (time.time() - t0) / steps
+            loss = float(rK(state))
+            tK = time.time() - t0
+            t0 = time.time()
+            float(r2K(state))
+            t2K = time.time() - t0
+            dt = (t2K - tK) / steps
+            if dt <= 0:
+                dt = tK / steps  # overhead-dominated fallback
         n_chips = dp * tp * dom
         row = {
             "dp": dp, "tensor": tp, "domain": dom,
