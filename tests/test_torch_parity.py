@@ -64,6 +64,27 @@ def test_parity_over_autoregressive_steps(pair):
     assert max(errs) < 1e-3, errs
 
 
+def test_quadrant_embed_parity_vs_torch():
+    """Stage-0 kernels (4, 8, 16) trigger the quadrant decomposition of the
+    largest embed scale — converted outputs must still match the reference
+    torch conv semantics exactly."""
+    torch.manual_seed(11)
+    ref, kw = build_reference_crossformer(
+        use_spectral_norm=True,
+        cross_embed_kernel_sizes=((4, 8, 16), (2, 4), (2, 4), (2, 4)))
+    conf = {"model": {"type": "crossformer", **{
+        k: (list(v) if isinstance(v, tuple) else v) for k, v in kw.items()}}}
+    mine = load_model(conf)
+    x0 = jnp.zeros((1, 1, 32, 64, mine.base_input_channels), jnp.float32)
+    variables = jax.jit(mine.init)(jax.random.PRNGKey(0), x0)
+    variables = convert_crossformer(ref.state_dict(), variables, strict=True)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 7, 1, 32, 64)).astype(np.float32)
+    y_ref, y_mine = _run_both(ref, mine, variables, x)
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_mine, y_ref, rtol=2e-4, atol=2e-4 * scale)
+
+
 def test_convert_is_strict_about_unknown_keys(pair):
     ref, mine, variables = pair
     sd = dict(ref.state_dict())
