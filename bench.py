@@ -76,7 +76,7 @@ CONF_FUXI = {
 }
 
 
-def run_bench(flagship: bool, bf16: bool, kind: str = None):
+def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -131,11 +131,13 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None):
 
     dev = jax.devices()[0]
     tag = {"1deg": "1deg", "025": "0.25deg", "fuxi": "fuxi"}[kind]
+    if batch > 1:
+        tag += f"-b{batch}"
     log(f"[{tag}] device: {dev} platform={dev.platform} "
         f"compute={'bf16' if bf16 else 'fp32'}")
 
     rng = jax.random.PRNGKey(0)
-    x0 = jax.random.normal(rng, (1, frames, h, w, schema.n_input),
+    x0 = jax.random.normal(rng, (batch, frames, h, w, schema.n_input),
                            jnp.float32) * 0.5
     if bf16:
         x0 = x0.astype(jnp.bfloat16)  # carry rides bf16 end-to-end
@@ -226,7 +228,8 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None):
     gridpoints_per_s = steps_per_s * h * w
     log(f"[{tag}] t{n_steps}={tN:.3f}s t{2 * n_steps}={t2N:.3f}s -> "
         f"{per_step * 1e3:.2f} ms/step, {steps_per_s:.1f} steps/s, "
-        f"{gridpoints_per_s / 1e6:.1f}M gridpoints/s")
+        f"{gridpoints_per_s * batch / 1e6:.1f}M gridpoints/s "
+        f"({steps_per_s * batch:.1f} member-steps/s at batch {batch})")
 
     # XLA cost analysis counts a while/scan BODY once regardless of trip
     # count; the compiled module is one unrolled fill step (the DPB-cache
@@ -260,6 +263,10 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None):
 
 def main():
     bf16 = "--fp32" not in sys.argv
+    batch = 1
+    for i, a in enumerate(sys.argv):
+        if a == "--batch":
+            batch = int(sys.argv[i + 1])
     both = "--all" in sys.argv
     only_1deg = "--1deg" in sys.argv
     only_fuxi = "--fuxi" in sys.argv
@@ -268,7 +275,7 @@ def main():
     if only_fuxi or both:
         run_bench(flagship=False, bf16=bf16, kind="fuxi")
     if both or not (only_1deg or only_fuxi):
-        run_bench(flagship=True, bf16=bf16)
+        run_bench(flagship=True, bf16=bf16, batch=batch)
 
 
 if __name__ == "__main__":
