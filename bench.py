@@ -42,7 +42,7 @@ CONF_025 = {
     "type": "crossformer", "frames": 1, "image_height": 721,
     "image_width": 1440, "levels": 13, "channels": 4, "surface_channels": 4,
     "input_only_channels": 4, "output_only_channels": 0,
-    "dim": [128, 256, 512, 1024], "depth": [2, 2, 8, 2],
+    "dim": [128, 256, 512, 1024], "depth": [2, 2, 8, 2], "dim_head": 32,
     "global_window_size": [10, 5, 2, 1], "local_window_size": 10,
     "cross_embed_kernel_sizes": [[4, 8, 16, 32], [2, 4], [2, 4], [2, 4]],
     "cross_embed_strides": [2, 2, 2, 2], "interp": True,

@@ -1,0 +1,123 @@
+"""Probe: stride-1 VALID conv as a Pallas kernel (the stage-0 embed's inner
+conv after space-to-depth + quadrant decomposition: 8x8 x 240 -> 176 on a
+(415, 735) grid).
+
+Goal: match XLA's fast conv emitter (~7.5 ms per instance in the flagship)
+from inside Pallas, which would make the whole encoder pallas-friendly
+(fused FF/attention kernels currently flip XLA convs onto a ~4x slower
+emitter when placed downstream — see bench_conv_ffk.py).
+
+Design: input stays in HBM (memory_space=ANY); each grid step DMAs a
+(TH + kh - 1, Wp, Cin) row band into VMEM scratch (halo included), then
+accumulates the kh*kw taps as (TH*Wo, Cin) @ (Cin, Cout) MXU matmuls.
+
+Run: python tools/bench_pallas_conv.py [TH]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def xla_conv(p, k):
+    return jax.lax.conv_general_dilated(
+        p, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=p.dtype).astype(p.dtype)
+
+
+def make_pallas_conv(hp, wp, cin, cout, kh, kw, th, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ho, wo = hp - kh + 1, wp - kw + 1
+    assert ho % th == 0, (ho, th)
+
+    def kernel(x_hbm, k_ref, o_ref, xs, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[0, pl.ds(i * th, th + kh - 1)], xs, sem)
+        dma.start()
+        dma.wait()
+        # accumulate over FULL wp columns (contiguous reshapes only): tap
+        # (di, dj) contributes rows di..di+th, columns rolled left by dj.
+        # Columns >= wo in the result are garbage (wrap-around) and are
+        # dropped by the final prefix slice.
+        acc = jnp.zeros((th * wp, cout), jnp.float32)
+        for di in range(kh):
+            rows = xs[di:di + th]           # (th, wp, cin)
+            for dj in range(kw):
+                sl = pltpu.roll(rows, wp - dj, 1) if dj else rows
+                acc = acc + jnp.dot(sl.reshape(th * wp, cin), k_ref[di, dj],
+                                    preferred_element_type=jnp.float32)
+        out = acc.reshape(th, wp, cout)[:, :wo, :]
+        o_ref[...] = out.astype(dtype).reshape(1, th, wo, cout)
+
+    def run(p, k):
+        return pl.pallas_call(
+            kernel,
+            grid=(ho // th,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((kh, kw, cin, cout), lambda i: (0, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, th, wo, cout), lambda i: (0, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((1, ho, wo, cout), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((th + kh - 1, wp, cin), dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )(p, k)
+
+    return run
+
+
+def timed(fn, args, reps_a=4, reps_b=12):
+    def loop(n):
+        def run(x):
+            def body(c, _):
+                y = fn(c, args[1])
+                return c + jnp.mean(y).astype(c.dtype) * 0, ()
+            y, _ = jax.lax.scan(body, x, None, length=n)
+            return jnp.sum(y[0, :2, :2, :2].astype(jnp.float32))
+        return jax.jit(run).lower(args[0]).compile()
+
+    ca, cb = loop(reps_a), loop(reps_b)
+    float(ca(args[0])); float(cb(args[0]))
+    t0 = time.time(); float(ca(args[0])); ta = time.time() - t0
+    t0 = time.time(); float(cb(args[0])); tb = time.time() - t0
+    return (tb - ta) / (reps_b - reps_a) * 1e3
+
+
+def main():
+    th = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    hp, wp, cin, cout, kh = 415, 735, 240, 176, 8
+    ho, wo = hp - 7, wp - 7  # 408, 728
+    dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    p = (jax.random.normal(key, (1, hp, wp, cin)) * 0.2).astype(dtype)
+    k = (jax.random.normal(key, (kh, kh, cin, cout)) * 0.02).astype(dtype)
+
+    gf = 2 * ho * wo * cin * cout * kh * kh / 1e9
+    ms = timed(xla_conv, (p, k))
+    print(f"xla       : {ms:7.2f} ms ({gf / ms:6.1f} TF/s)", flush=True)
+
+    ref = np.asarray(xla_conv(p, k), np.float32)
+    try:
+        run = make_pallas_conv(hp, wp, cin, cout, kh, kh, th, dtype)
+        out = np.asarray(run(p, k), np.float32)
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+        ms = timed(run, (p, k))
+        print(f"pallas t{th:<3d}: {ms:7.2f} ms ({gf / ms:6.1f} TF/s) "
+              f"rel_err={err:.2e}", flush=True)
+    except Exception as e:
+        print(f"pallas t{th:<3d}: FAILED {type(e).__name__}: {str(e)[:400]}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    main()
