@@ -125,8 +125,6 @@ def test_feedforward_fused_matches_unfused():
 def test_feedforward_module_unfused_cpu_includes_residual():
     """FeedForward now returns x + mlp(x); on CPU the fused path must not
     trigger (on_tpu() False) and the residual must be included."""
-    import flax.linen as fnn
-
     from credit_tpu.models.layers import FeedForward
 
     ff = FeedForward(dim=32, use_sn=False)
