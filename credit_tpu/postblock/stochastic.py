@@ -14,6 +14,7 @@ Stateless postblocks keep the plain (y_pred, x) -> y_pred signature.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -48,13 +49,21 @@ class SKEBSPostblock(StatefulPostblock):
 
     def __init__(self, schema: ChannelSchema, grid, U_var="U", V_var="V",
                  backscatter_net=None, dissipation_scaling: float = 1.0,
-                 **skebs_kwargs):
+                 write_rollout_debug_files: bool = False,
+                 save_loc: str = ".", **skebs_kwargs):
         from credit_tpu.physics.skebs import SKEBS, SKEBSParams
 
         params = SKEBSParams(**{k: skebs_kwargs.pop(k) for k in
                                 ("alpha", "variance", "p", "dE", "r")
                                 if k in skebs_kwargs})
         skebs_kwargs.pop("activate", None)
+        skebs_kwargs.pop("write_train_debug_files", None)
+        skebs_kwargs.pop("write_train_every", None)
+        # rollout debug writers (reference: skebs.py:426-440 — dumps the
+        # stream-function pattern + perturbation winds per step so SKEBS
+        # behavior can be audited offline)
+        self.write_rollout_debug_files = bool(write_rollout_debug_files)
+        self.debug_save_loc = os.path.join(save_loc, "debug_skebs")
         self.skebs = SKEBS(grid, params, **skebs_kwargs)
         self.U = _VarView(schema, U_var)
         self.V = _VarView(schema, V_var)
@@ -111,6 +120,26 @@ class SKEBSPostblock(StatefulPostblock):
         y_pred = self.U.set(y_pred, u + diss * pert_u)
         y_pred = self.V.set(y_pred, v + diss * pert_v)
         return y_pred, new_coef
+
+    def dump_debug(self, step: int, state):
+        """Write the step's SKEBS pattern fields to netCDF (reference:
+        skebs.py write_rollout_debug_files). Host-side; called by the
+        rollout engine between jitted steps."""
+        import numpy as np
+
+        from credit_tpu.utils.ncio import Dataset
+
+        os.makedirs(self.debug_save_loc, exist_ok=True)
+        coef = jnp.asarray(state)
+        u_chi, v_chi = self.skebs.sht.grad_from_spec(coef)
+        psi = self.skebs.sht.spec2grid(coef)
+        path = os.path.join(self.debug_save_loc, f"skebs_{step:04d}.nc")
+        Dataset({
+            "psi_pattern": (("batch", "lat", "lon"), np.asarray(psi)),
+            "pert_u": (("batch", "lat", "lon"), np.asarray(u_chi)),
+            "pert_v": (("batch", "lat", "lon"), np.asarray(v_chi)),
+        }).to_netcdf(path)
+        return path
 
 
 @registry.register("postblock", "semilagrangian_advection")

@@ -185,6 +185,13 @@ class RolloutEngine:
                     if self.normalizer is not None:
                         f_next = self.normalizer.normalize_forcing(f_next, self.schema)
             y_pred, x = self.step(x, f_next)
+            # per-step debug writers on stateful postblocks (reference:
+            # skebs.py write_rollout_debug_files) — host-side, between
+            # jitted steps
+            for i, pb in enumerate(self.postblocks):
+                if getattr(pb, "write_rollout_debug_files", False) and \
+                        i in (self._states or {}):
+                    pb.dump_debug(s, self._states[i])
             y = y_pred
             if denormalize and self.normalizer is not None:
                 y = self.normalizer.denormalize_target(y)

@@ -52,6 +52,33 @@ def test_skebs_postblock_in_rollout(env):
     assert d01 > 0
 
 
+def test_skebs_rollout_debug_files(env, tmp_path):
+    """write_rollout_debug_files dumps the per-step pattern + perturbation
+    winds to debug_skebs/ (reference: skebs.py:426-440)."""
+    from credit_tpu.postblock.stochastic import SKEBSPostblock
+    from credit_tpu.utils.ncio import open_dataset
+
+    schema, grid, model, variables, ds = env
+    pb = SKEBSPostblock(schema, grid, backscatter=1e-5, lmax=12, mmax=12,
+                        write_rollout_debug_files=True,
+                        save_loc=str(tmp_path))
+    engine = RolloutEngine(model, variables, schema, postblocks=[pb])
+    x0 = jnp.asarray(ds.input_at(2)[None])
+    engine.run(x0, 2, denormalize=False)
+    import os
+
+    files = sorted(os.listdir(tmp_path / "debug_skebs"))
+    assert files == ["skebs_0000.nc", "skebs_0001.nc"]
+    d = open_dataset(str(tmp_path / "debug_skebs" / files[0]))
+    for v in ("psi_pattern", "pert_u", "pert_v"):
+        arr = np.asarray(d[v].values)
+        assert arr.shape == (1, 17, 32) and np.isfinite(arr).all()
+    # the AR(1) pattern evolves between steps
+    d1 = open_dataset(str(tmp_path / "debug_skebs" / files[1]))
+    assert not np.allclose(np.asarray(d["psi_pattern"].values),
+                           np.asarray(d1["psi_pattern"].values))
+
+
 def test_advection_postblock_runs(env):
     from credit_tpu.postblock.stochastic import AdvectionPostblock
 
