@@ -50,7 +50,8 @@ class SKEBSPostblock(StatefulPostblock):
     def __init__(self, schema: ChannelSchema, grid, U_var="U", V_var="V",
                  backscatter_net=None, dissipation_scaling: float = 1.0,
                  write_rollout_debug_files: bool = False,
-                 save_loc: str = ".", **skebs_kwargs):
+                 save_loc: str = ".", iteration_stop: int = 0,
+                 **skebs_kwargs):
         from credit_tpu.physics.skebs import SKEBS, SKEBSParams
 
         params = SKEBSParams(**{k: skebs_kwargs.pop(k) for k in
@@ -64,6 +65,7 @@ class SKEBSPostblock(StatefulPostblock):
         # behavior can be audited offline)
         self.write_rollout_debug_files = bool(write_rollout_debug_files)
         self.debug_save_loc = os.path.join(save_loc, "debug_skebs")
+        self.iteration_stop = int(iteration_stop)
         self.skebs = SKEBS(grid, params, **skebs_kwargs)
         self.U = _VarView(schema, U_var)
         self.V = _VarView(schema, V_var)
@@ -77,7 +79,10 @@ class SKEBSPostblock(StatefulPostblock):
         self.is_trainable = self.net is not None
 
     def init_state(self, batch_size: int):
-        return self.skebs.init_state(jax.random.PRNGKey(0), batch_size)
+        coef = self.skebs.init_state(jax.random.PRNGKey(0), batch_size)
+        # state = (AR(1) spectral pattern, iteration counter) — the counter
+        # drives iteration_stop (reference skebs.py:443 early shutoff)
+        return (coef, jnp.zeros((), jnp.int32))
 
     def init_params(self, key, x_sample):
         """x_sample: (B, T, H, W, C_in) — net sees the last input frame."""
@@ -97,11 +102,12 @@ class SKEBSPostblock(StatefulPostblock):
         return rate, True
 
     def __call__(self, y_pred, x, state, key, net_params=None):
+        coef, it = state
         u = self.U.get(y_pred)  # (B, T, H, W, L) or (B, T, H, W)
         v = self.V.get(y_pred)
         has_lev = u.ndim == 5
         # SKEBS pattern is (B, lat, lon); broadcast over T (and levels)
-        new_coef = self.skebs.cycle(state, key)
+        new_coef = self.skebs.cycle(coef, key)
         u_chi, v_chi = self.skebs.sht.grad_from_spec(new_coef)
         pert_u = u_chi[:, None, :, :]
         pert_v = v_chi[:, None, :, :]
@@ -117,9 +123,14 @@ class SKEBSPostblock(StatefulPostblock):
             # clamp keeps the gradient finite (0 below threshold)
             rate = jnp.maximum(rate, 1e-10)
         diss = jnp.sqrt(self.skebs.params.r * rate / self.skebs.params.dE)
+        if self.iteration_stop:
+            # early shutoff (reference skebs.py:443): zero the perturbation
+            # once the counter reaches iteration_stop — jit-friendly select
+            on = (it < self.iteration_stop).astype(diss.dtype)
+            diss = diss * on
         y_pred = self.U.set(y_pred, u + diss * pert_u)
         y_pred = self.V.set(y_pred, v + diss * pert_v)
-        return y_pred, new_coef
+        return y_pred, (new_coef, it + 1)
 
     def dump_debug(self, step: int, state):
         """Write the step's SKEBS pattern fields to netCDF (reference:
@@ -130,7 +141,7 @@ class SKEBSPostblock(StatefulPostblock):
         from credit_tpu.utils.ncio import Dataset
 
         os.makedirs(self.debug_save_loc, exist_ok=True)
-        coef = jnp.asarray(state)
+        coef = jnp.asarray(state[0])
         u_chi, v_chi = self.skebs.sht.grad_from_spec(coef)
         psi = self.skebs.sht.spec2grid(coef)
         path = os.path.join(self.debug_save_loc, f"skebs_{step:04d}.nc")

@@ -79,6 +79,31 @@ def test_skebs_rollout_debug_files(env, tmp_path):
                            np.asarray(d1["psi_pattern"].values))
 
 
+def test_skebs_iteration_stop(env):
+    """iteration_stop zeroes the perturbation after N steps (reference
+    skebs.py:443 early shutoff)."""
+    from credit_tpu.postblock.stochastic import SKEBSPostblock
+
+    schema, grid, model, variables, ds = env
+    pb = SKEBSPostblock(schema, grid, backscatter=1e-5, lmax=12, mmax=12,
+                        iteration_stop=1)
+    engine = RolloutEngine(model, variables, schema, postblocks=[pb])
+    plain = RolloutEngine(model, variables, schema)
+    x0 = jnp.asarray(ds.input_at(2)[None])
+    outs = engine.run(x0, 2, denormalize=False)
+    ref = plain.run(x0, 2, denormalize=False)
+    ui = schema.target_names.index("U_L0")
+    # step 0 perturbed, step 1 shut off (identical up to feedback of step 0)
+    assert np.abs(outs[0][..., ui] - ref[0][..., ui]).max() > 0
+    # rerun with stop=0 (never) to contrast step-1 perturbation presence
+    pb2 = SKEBSPostblock(schema, grid, backscatter=1e-5, lmax=12, mmax=12)
+    outs2 = RolloutEngine(model, variables, schema,
+                          postblocks=[pb2]).run(x0, 2, denormalize=False)
+    d_stop = np.abs(outs[1] - ref[1]).max()
+    d_on = np.abs(outs2[1] - ref[1]).max()
+    assert d_on > d_stop  # shutoff reduces the step-1 deviation
+
+
 def test_advection_postblock_runs(env):
     from credit_tpu.postblock.stochastic import AdvectionPostblock
 
