@@ -25,10 +25,39 @@ serve benchmark only. --all: both (1-deg first, flagship last).
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+# Fail fast instead of hanging forever: device discovery through a remote
+# TPU tunnel can wedge indefinitely (observed after a server-side compile
+# crash). The watchdog fires only if jax.devices() never returns.
+_DEVICE_TIMEOUT_S = int(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "900"))
+
+
+def _device_watchdog():
+    flag = {"ok": False}
+
+    def bark():
+        if not flag["ok"]:
+            print(json.dumps({
+                "metric": "bench_error",
+                "value": 0,
+                "unit": "device_init_timeout",
+                "vs_baseline": 0,
+            }), flush=True)
+            print(f"bench: jax device discovery exceeded "
+                  f"{_DEVICE_TIMEOUT_S}s (TPU tunnel wedged?) — aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    t = threading.Timer(_DEVICE_TIMEOUT_S, bark)
+    t.daemon = True
+    t.start()
+    return flag, t
 
 N_STEPS_1DEG = 40
 N_STEPS_025 = 10
@@ -129,7 +158,10 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
     assert schema.n_input == model.base_input_channels, (
         schema.n_input, model.base_input_channels)
 
+    flag, timer = _device_watchdog()
     dev = jax.devices()[0]
+    flag["ok"] = True
+    timer.cancel()
     tag = {"1deg": "1deg", "025": "0.25deg", "fuxi": "fuxi"}[kind]
     if batch > 1:
         tag += f"-b{batch}"
