@@ -104,10 +104,17 @@ def run_rollout_metrics(conf: dict, n_steps: Optional[int] = None,
                                    axis=1))  # (1, E, T, H, W, C)
         truth = jnp.asarray(dataset.target_at(t0 + 1 + s)[None])
         out = metrics.ensemble(truth, ens)
-        crps = float(kcrps(truth, ens).mean())
+        crps_field = kcrps(truth, ens)  # (B, T, H, W, C)
+        crps = float(crps_field.mean())
+        # per-channel CRPS columns (reference:
+        # rollout_metrics_noisy_model.py calculate_crps_per_channel)
+        per_var = np.asarray(crps_field.mean(axis=tuple(
+            range(crps_field.ndim - 1))))
         row = {"step": s + 1,
                "lead_hours": (s + 1) * int(conf.get("data", {}).get("lead_time_periods", 6)),
                "crps": crps,
+               **{f"crps_{name}": float(v) for name, v in
+                  zip(exp["schema"].target_names, per_var)},
                **{k: float(v) for k, v in out.items()
                   if k in ("rmse", "acc", "spread", "spread_skill_ratio")}}
         rows.append(row)

@@ -27,6 +27,10 @@ def test_noisy_ic_gaussian_rows():
         assert r["step"] == i + 1 and r["lead_hours"] == 6 * (i + 1)
         assert np.isfinite(r["crps"]) and np.isfinite(r["rmse"])
         assert r["spread"] > 0  # perturbed ICs diverge
+        # per-channel CRPS columns (reference calculate_crps_per_channel)
+        per_var = [v for k, v in r.items() if k.startswith("crps_")]
+        assert per_var and all(np.isfinite(v) for v in per_var)
+        assert abs(np.mean(per_var) - r["crps"]) < 1e-5
 
 
 def test_noisy_model_spread_from_stochastic_model():
