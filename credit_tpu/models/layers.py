@@ -311,11 +311,14 @@ class FeedForward(nn.Module):
     WITH its residual (reference crossformer.py:234 FeedForward + the
     residual add at :406).
 
-    On TPU at inference, the whole block runs as ONE fused Pallas kernel
-    (ops/pallas_ff.py): x is read once and the result written once, vs the
-    XLA path's ~1.6 GB/block HBM round-trips at flagship stage-0. Training
-    and CPU keep the XLA composition (bit-comparable; kernel accumulates in
-    f32 where the XLA bf16 path rounds, so bf16 outputs differ by ~1 ulp).
+    With fuse='auto' the block can run as ONE fused Pallas kernel on a
+    single-chip TPU at inference (ops/pallas_ff.py): x read once, result
+    written once, vs the XLA path's ~1.6 GB/block HBM round-trips at
+    flagship stage-0 — 2.1x faster per block in isolation. Default is
+    'never' BY MEASUREMENT: any pallas call downstream of a cross-embed
+    conv flips that conv onto a ~4x slower emitter (see
+    CrossFormer.ff_fusion and docs/PERF.md). Kernel numerics: f32
+    accumulation where the XLA bf16 path rounds (bf16 outputs differ ~1 ulp).
     """
 
     dim: int
