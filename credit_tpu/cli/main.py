@@ -469,6 +469,31 @@ def cmd_solar(args):
     return 0
 
 
+def cmd_tune(args):
+    """Optuna hyperparameter search over `train` (reference: the
+    echo/Optuna Objective classes; space from config `optuna.parameters`)."""
+    try:
+        import optuna
+    except ImportError:
+        print("optuna is not installed; `pip install optuna` to run "
+              "hyperparameter search (the Objective class in "
+              "credit_tpu/tuning.py also works with any echo-compatible "
+              "driver)", file=sys.stderr)
+        return 2
+    from credit_tpu.tuning import Objective
+
+    conf = _load(args)
+    study = optuna.create_study(
+        direction="minimize", study_name=args.study,
+        storage=args.storage, load_if_exists=bool(args.storage),
+        pruner=optuna.pruners.MedianPruner())
+    study.optimize(Objective(conf, metric=args.metric),
+                   n_trials=args.trials)
+    best = study.best_trial
+    print(json.dumps({"best_value": best.value, "params": best.params}))
+    return 0
+
+
 def cmd_summary(args):
     """Model parameter summary (reference: applications/model_summary.py)."""
     import jax
@@ -643,6 +668,17 @@ def build_parser():
     sp.add_argument("config")
     sp.add_argument("-v", "--verbose", action="store_true")
     sp.set_defaults(fn=cmd_summary)
+
+    sp = sub.add_parser("tune", help="optuna hyperparameter search "
+                        "(space: config optuna.parameters)")
+    sp.add_argument("config")
+    sp.add_argument("--trials", type=int, default=10)
+    sp.add_argument("--metric", default="val_loss")
+    sp.add_argument("--study", default="credit-tpu")
+    sp.add_argument("--storage", default=None,
+                    help="optuna storage URL (sqlite:///study.db) for "
+                    "resumable/parallel sweeps")
+    sp.set_defaults(fn=cmd_tune)
 
     sp = sub.add_parser("convert-checkpoint",
                         help="torch .pt checkpoint -> orbax checkpoint")

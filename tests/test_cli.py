@@ -33,8 +33,25 @@ def test_parser_has_all_subcommands():
     subs = next(a for a in p._actions if a.dest == "cmd").choices
     for cmd in ["init", "train", "rollout", "rollout-metrics", "preprocess",
                 "convert", "convert-checkpoint", "metrics", "plot", "submit",
-                "benchmark", "summary", "serve"]:
+                "benchmark", "summary", "serve", "tune"]:
         assert cmd in subs, cmd
+
+
+def test_tune_without_optuna_fails_cleanly(tmp_path, monkeypatch):
+    """`credit-tpu tune` without optuna installed exits 2 with guidance."""
+    monkeypatch.chdir(tmp_path)
+    conf = _write_tiny_conf(tmp_path)
+    import builtins
+
+    real_import = builtins.__import__
+
+    def fake(name, *a, **k):
+        if name == "optuna":
+            raise ImportError("no optuna")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", fake)
+    assert main(["tune", conf, "--trials", "1"]) == 2
 
 
 def test_init_writes_template(tmp_path, monkeypatch):
