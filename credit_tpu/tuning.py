@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import copy
 import logging
+import os
 from typing import Any, Dict, Mapping, Optional
 
 logger = logging.getLogger(__name__)
@@ -77,8 +78,12 @@ class Objective:
         overrides = suggest_overrides(trial, self.space)
         for name, value in overrides.items():
             set_by_path(conf, name, value)
-        logger.info("trial %s overrides: %s", getattr(trial, "number", "?"),
-                    overrides)
+        # one save_loc per trial: training_log.csv is append-mode and
+        # checkpoints would clobber across trials otherwise
+        num = getattr(trial, "number", 0)
+        conf["save_loc"] = os.path.join(
+            self.conf.get("save_loc", "./ckpt"), f"trial_{num:04d}")
+        logger.info("trial %s overrides: %s", num, overrides)
 
         exp = build_experiment(conf)
         cls = load_trainer(conf)
@@ -105,7 +110,6 @@ class Objective:
         """Best (minimum) value of the optimized metric from the trial's
         training_log.csv (reference optimizes val_loss the same way)."""
         import csv
-        import os
 
         key = {"val_loss": "valid_loss", "train_loss": "train_loss"}.get(
             self.metric, self.metric)

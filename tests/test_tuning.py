@@ -68,3 +68,8 @@ def test_objective_runs_trial_and_reports(tmp_path):
     assert "trainer.learning_rate" in t.suggested
     # the per-epoch pruning hook reported validation losses
     assert len(t.reports) == 2
+    # each trial gets its own save_loc (training_log.csv is append-mode;
+    # shared dirs would mix trials)
+    import os
+
+    assert os.path.exists(tmp_path / "trial_0000" / "training_log.csv")
