@@ -443,7 +443,11 @@ def cmd_solar(args):
     os.makedirs(args.out, exist_ok=True)
     import datetime as _dt
 
-    period = float(args.step.rstrip("hH")) if args.step[-1] in "hH" else 1.0
+    # accumulation period from the SAME parser the clock uses — '30min',
+    # '1d' etc. must accumulate over the requested cadence, not 1 hour
+    from credit_tpu.data.timeclock import parse_timestep
+
+    period = float(parse_timestep(args.step) / np.timedelta64(1, "s")) / 3600.0
     written = []
     from credit_tpu.data.tisr import _doy_hour
 

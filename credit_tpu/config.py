@@ -22,7 +22,8 @@ logger = logging.getLogger(__name__)
 _KNOWN_SECTIONS = {
     "save_loc", "seed", "data", "data_valid", "model", "loss", "trainer",
     "predict", "preblocks", "postblocks", "custom_objects", "ensemble",
-    "diffusion", "skebs", "replay", "distributed", "pbs", "slurm", "gcloud",
+    "diffusion", "skebs", "distributed", "pbs", "slurm", "gcloud",
+    "optuna", "realtime", "metadata",  # tune / cmd_realtime / variable_attrs
 }
 
 _PATH_KEYS = ("save_loc", "path", "mean_path", "std_path", "save_forecast",

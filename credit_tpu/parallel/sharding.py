@@ -92,6 +92,26 @@ def tree_param_shardings(params: Any, mesh: Mesh, fsdp: bool = True,
     return jax.tree_util.tree_unflatten(flat[1], shardings)
 
 
+def opt_state_shardings(opt_state: Any, params: Any, mesh: Mesh,
+                        fsdp: bool = True, tp: bool = True) -> Any:
+    """Sharding tree for optimizer state (ZeRO): subtrees congruent to the
+    params tree (AdamW mu/nu, MultiSteps acc_grads) get the SAME shardings
+    as the params, so each moment lives with its param shard; scalar
+    counters replicate. The reference FSDP2 path equally shards optimizer
+    state and gathers it only at checkpoint time
+    (reference: credit/parallel/fsdp2.py:233-286)."""
+    pshard = tree_param_shardings(params, mesh, fsdp, tp)
+    rep = replicated(mesh)
+    ptree = jax.tree_util.tree_structure(params)
+
+    def params_like(node):
+        return jax.tree_util.tree_structure(node) == ptree
+
+    return jax.tree_util.tree_map(
+        lambda node: pshard if params_like(node) else rep,
+        opt_state, is_leaf=params_like)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -46,7 +46,16 @@ class DiffusionTrainer(Trainer):
             objective=d.get("objective", "pred_v"),
             ddim_eta=float(d.get("ddim_eta", 0.0)))
         self._train_step = jax.jit(self._make_diffusion_train_step())
+        # fit() dispatches via _train_step_for/_step_cache (seeded by the base
+        # __init__ with the gen2 regression step); re-seed so the denoising
+        # objective actually trains (advisor round-2 high finding)
+        self._step_cache = {self.forecast_len: self._train_step}
         self._eval_step = jax.jit(self._make_diffusion_eval_step())
+
+    def _train_step_for(self, flen: int):
+        """Diffusion trains single-step denoising regardless of any scheduled
+        rollout length — always dispatch the denoising step."""
+        return self._train_step
 
     # ------------------------------------------------------------------
     def _make_diffusion_train_step(self):
@@ -92,7 +101,7 @@ class DiffusionTrainer(Trainer):
     def _make_diffusion_eval_step(self):
         gd, normalizer = self.gd, self.normalizer
 
-        def step(state: TrainState, batch):
+        def step(state: TrainState, batch, rng: jax.Array):
             x, y = batch["x"], batch["y"]
             if normalizer is not None:
                 x = normalizer.normalize_input(x)
@@ -100,8 +109,9 @@ class DiffusionTrainer(Trainer):
             params = (state.ema_params if state.ema_params is not None
                       else state.params)
             variables = {"params": params, "spectral": state.spectral}
-            sample = gd.sample(variables, x, jax.random.PRNGKey(0),
-                               y[:, :1].shape)
+            # per-(epoch, batch) key from fit — a fixed key would sample the
+            # same DDIM trajectory every epoch
+            sample = gd.sample(variables, x, rng, y[:, :1].shape)
             return {"loss": jnp.mean((sample - y[:, :1]) ** 2)}
 
         return step

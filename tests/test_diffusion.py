@@ -117,7 +117,24 @@ def test_diffusion_trainer_end_to_end(tmp_path):
     cls = load_trainer(conf)
     assert cls.__name__ == "DiffusionTrainer"
     trainer = cls(conf, model, loss, loss, schema, ds, save_loc=str(tmp_path))
+    # fit() dispatches through _train_step_for — it must resolve to the
+    # DENOISING step, not the base regression step the parent __init__
+    # seeded the cache with (round-2 advisor high finding), for every
+    # scheduled rollout length
+    assert trainer._train_step_for(trainer.forecast_len) is trainer._train_step
+    assert trainer._train_step_for(7) is trainer._train_step
+    dispatched = []
+    real_step = trainer._train_step
+
+    def spy(state, batch, rng):
+        dispatched.append(True)
+        return real_step(state, batch, rng)
+
+    trainer._train_step = spy
+    trainer._step_cache = {trainer.forecast_len: spy}
     trainer.fit(seed=0)
+    assert dispatched, "fit() never dispatched the diffusion train step"
+    trainer._train_step = real_step
     with open(os.path.join(str(tmp_path), "training_log.csv")) as f:
         rows = list(csv.DictReader(f))
     losses = [float(r["train_loss"]) for r in rows]
