@@ -65,7 +65,10 @@ def _decode_time_axis(group: ZarrGroup, name: str = "time"):
     return base, unit, vals, cal
 
 
-class ZarrSourceDataset:
+from credit_tpu.data.source_base import ClockedSource
+
+
+class ZarrSourceDataset(ClockedSource):
     """One schema source backed by one zarr store on the master clock.
 
     Sample API matches SyntheticDataset/LocalDataset (input_at/target_at/
@@ -144,20 +147,6 @@ class ZarrSourceDataset:
         raise ValueError("dataset_type zarr requires store_path")
 
     # ------------------------------------------------------------------
-    def __len__(self):
-        return len(self.clock.all_times)
-
-    def init_times(self) -> List:
-        """Valid init datetimes (history/forecast margins respected)."""
-        return list(self.clock.init_times)
-
-    def time_of(self, t_idx: int):
-        return self.clock.time_at(t_idx)
-
-    def index_of(self, when) -> int:
-        return self.clock.index_of(when)
-
-    # ------------------------------------------------------------------
     def _store_t(self, t_idx: int) -> int:
         return self._t0 + t_idx * self._stride
 
@@ -183,58 +172,6 @@ class ZarrSourceDataset:
             return np.moveaxis(block, 0, -1)   # (lat, lon, L)
         block = arr.read((st,))                # (lat, lon)
         return np.asarray(block)
-
-    def _stack(self, t_idx: int, entries) -> np.ndarray:
-        cols, cache = [], {}
-        for e in entries:
-            if self.source is not None and e.source != self.source:
-                raise KeyError(
-                    f"entry {e.name} belongs to source {e.source}; this "
-                    f"dataset serves {self.source} (use MultiSourceDataset)")
-            base, sep, lev = e.name.rpartition("_L")
-            is_static = e.field_type == "static"
-            if sep and lev.isdigit():
-                if base not in cache:
-                    cache[base] = self._read_var(base, t_idx, is_static)
-                cols.append(cache[base][..., int(lev)])
-            else:
-                cols.append(self._read_var(e.name, t_idx, is_static))
-        return np.stack(cols, axis=-1).astype(np.float32)
-
-    # -- sample API (identical to LocalDataset/SyntheticDataset) ----------
-    def input_at(self, t_idx: int) -> np.ndarray:
-        frames = [self._stack(t_idx - k, self.schema.input_entries)
-                  for k in reversed(range(self.history_len))]
-        return np.stack(frames, axis=0)
-
-    def target_at(self, t_idx: int) -> np.ndarray:
-        return self._stack(t_idx, self.schema.target_entries)[None]
-
-    def forcing_at(self, t_idx: int) -> Optional[np.ndarray]:
-        idx = self.schema.dynamic_forcing_indices()
-        if not idx:
-            return None
-        ents = [self.schema.input_entries[i] for i in idx]
-        return self._stack(t_idx, ents)[None]
-
-    def sample(self, t_idx: int, n_steps: int = 1):
-        out = {
-            "x": self.input_at(t_idx),
-            "y": np.concatenate([self.target_at(t_idx + 1 + s)
-                                 for s in range(n_steps)], axis=0),
-        }
-        f = self.forcing_at(t_idx)
-        out["forcing"] = None if f is None else np.concatenate(
-            [self.forcing_at(t_idx + 1 + s) for s in range(n_steps)], axis=0)
-        return out
-
-    def batch(self, t_indices, n_steps: int = 1):
-        samples = [self.sample(int(t), n_steps) for t in t_indices]
-        out = {"x": np.stack([s["x"] for s in samples]),
-               "y": np.stack([s["y"] for s in samples])}
-        if samples[0].get("forcing") is not None:
-            out["forcing"] = np.stack([s["forcing"] for s in samples])
-        return out
 
 
 @registry.register("dataset", "zarr")

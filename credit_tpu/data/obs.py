@@ -1,70 +1,485 @@
-"""Observational / regional-NWP dataset sources: GOES, HRRR, MRMS.
+"""Observational / regional-NWP dataset sources: GOES ABI, HRRR, MRMS.
 
-Re-designs of the reference's gen2 observation readers on the shared
-clocked-zarr base (reference: credit/datasets/gen_2/goes.py:371 GOESDataset
-— ABI imager bands on the fixed satellite projection, no vertical levels;
-gen_2/hrrr.py:677 HRRRDataset — HRRR on its Lambert-conformal grid with
-hybrid levels; gen_2/mrms.py:76 MRMSDataset — 2-D radar mosaics). All three
-inherit the master-clock mapping, chunk-gather reads, channel stacking, and
-datetime addressing from ZarrSourceDataset; what differs is the store
-convention (coordinate names, default buckets, level handling).
+Granule-file readers re-designing the reference's gen2 observation datasets
+(reference: credit/datasets/gen_2/goes.py:371 GOESDataset, gen_2/hrrr.py:677
+HRRRDataset, gen_2/mrms.py:76 MRMSDataset). Unlike ERA5's monolithic zarr
+stores, these sources live as ONE FILE PER TIMESTAMP (GOES's real public
+bucket holds NetCDF granules, HRRR holds GRIB2 + .idx, MRMS holds gzipped
+GRIB2 mosaics), so the reader is catalog-based:
 
-Projection note: the reference carries lat/lon 2-D coordinate grids for the
-GOES imager projection and HRRR's Lambert grid (latlon2d_dir). In the
-flat-tensor design the model grid IS the native store grid (regional
-configs set image_height/width to it); reprojection onto a different grid
-composes through the 'regrid' preblock with the store's 2-D coordinates.
+  * a catalog maps granule datetimes -> file paths (local directory scan on
+    a strftime pattern / the source's native filename code, or an explicit
+    ``file_catalog_path`` JSON — reference goes.py:775 _load_file_catalog);
+  * each requested clock timestamp matches the NEAREST granule within
+    ``scan_tolerance`` (reference goes.py:1066 get_indexer(method='nearest',
+    tolerance=...); GOES scans don't land exactly on round timestamps);
+  * 2-D coordinate grids come from the projection math
+    (credit_tpu/data/projection.py): GOES fixed-grid scan angles, HRRR
+    Lambert-conformal — the reference ships these as precomputed
+    latlon2d_dir files (goes.py:388);
+  * ``extent`` crops the curvilinear grid via nearest-neighbour corner
+    lookup (reference goes.py:142 _build_spatial_slices);
+  * ``grid_latlon()`` exposes the (cropped) 2-D coordinates to the regrid
+    preblock.
+
+Remote mode (``mode: remote``) composes the sources' public bucket paths
+(noaa-goes16/18, noaa-hrrr-bdp-pds, noaa-mrms-pds) and streams via fsspec;
+in this zero-egress environment it raises an actionable error instead.
+HRRR remote additionally needs GRIB decode: the .idx parsing + byte-range
+selection are implemented (and tested) as pure functions; message decode is
+gated on cfgrib with ``credit-tpu realtime``'s npz fallback documented in
+docs/MIGRATING.md.
 """
 
 from __future__ import annotations
 
-from credit_tpu import registry
-from credit_tpu.data.era5 import ZarrSourceDataset
+import datetime as dt
+import glob
+import json
+import logging
+import os
+import re
+from typing import Dict, List, Optional, Tuple
 
-GOES_PATH = "gs://gcp-public-data-goes-16/ABI-L2-CMIPF.zarr"
-HRRR_PATH = "s3://hrrrzarr/sfc.zarr"
-MRMS_PATH = "gs://mrms-zarr/precip_rate.zarr"
+import numpy as np
+
+from credit_tpu import registry
+from credit_tpu.data.source_base import ClockedSource
+from credit_tpu.data.timeclock import (TimeClock, normalize_calendar,
+                                       parse_timestep)
+from credit_tpu.utils.ncio import open_dataset
+
+logger = logging.getLogger(__name__)
+
+GOES_BUCKET = {"east": "s3://noaa-goes16", "west": "s3://noaa-goes18"}
+HRRR_BUCKET = "s3://noaa-hrrr-bdp-pds"
+MRMS_BUCKET = "s3://noaa-mrms-pds"
+
+# GOES ABI filename start-time code: ..._s20211521800204_... (year, doy,
+# HHMMSS, tenths) — reference goes.py scans these via the s-code
+_GOES_SCODE = re.compile(r"_s(\d{4})(\d{3})(\d{2})(\d{2})(\d{2})\d")
+
+
+def _goes_time_from_name(name: str) -> Optional[dt.datetime]:
+    m = _GOES_SCODE.search(name)
+    if not m:
+        return None
+    year, doy, hh, mm, ss = (int(g) for g in m.groups())
+    return (dt.datetime(year, 1, 1, hh, mm, ss)
+            + dt.timedelta(days=doy - 1))
+
+
+def _strftime_glob(fmt: str) -> str:
+    """strftime pattern -> glob pattern (every %-code becomes a wildcard)."""
+    return re.sub(r"%[A-Za-z]", "*", fmt)
+
+
+class GranuleSourceDataset(ClockedSource):
+    """One schema source backed by per-timestamp granule files."""
+
+    dataset_type = "granule"
+    default_tolerance: Optional[str] = None
+    filename_template = "{prefix}_{stamp}.nc"   # local-mode naming
+    local_glob: Optional[str] = None            # override: match any name
+    default_prefix = "GRANULE"
+    default_time_format = "%Y%m%d-%H%M%S"
+
+    def __init__(self, schema, src_conf: dict, data_conf: dict,
+                 source_name: Optional[str] = None, history_len: int = 1,
+                 forecast_len: int = 1):
+        self.schema = schema
+        self.source = source_name
+        self.history_len = history_len
+        self.conf = dict(src_conf)
+        self.calendar = normalize_calendar(
+            src_conf.get("calendar", data_conf.get("calendar", "standard")))
+        self.clock = TimeClock(
+            data_conf.get("start_datetime", "1979-01-01"),
+            data_conf.get("end_datetime", "2022-12-31"),
+            data_conf.get("timestep", "6h"), self.calendar,
+            history_len=history_len, num_forecast_steps=forecast_len)
+        if src_conf.get("store_path"):
+            raise ValueError(
+                f"{type(self).__name__} reads per-timestamp GRANULE files "
+                f"(the real {self.dataset_type} buckets are not zarr); for "
+                f"a user-built zarr mirror use dataset_type: zarr with "
+                f"store_path")
+        self.mode = src_conf.get("mode", "local")
+        self.extent = src_conf.get("extent")
+        self.rename = dict(src_conf.get("rename", {}))
+        tol = src_conf.get("scan_tolerance", self.default_tolerance)
+        self.tolerance = parse_timestep(tol) if tol else None
+
+        times, paths = self._build_catalog(src_conf)
+        if len(times) == 0:
+            raise FileNotFoundError(
+                f"{type(self).__name__}: no granules found "
+                f"(mode={self.mode}, path={src_conf.get('path')!r})")
+        order = np.argsort(times)
+        self._granule_times = np.asarray(times)[order]
+        self._granule_paths = [paths[i] for i in order]
+        self._match = self._match_clock()
+        self._cache: Dict[str, object] = {}
+        self._cache_order: List[str] = []
+        self._latlon: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._slices: Optional[Tuple[slice, slice]] = None
+        self._static_cache: Dict[str, np.ndarray] = {}
+
+    # -- catalog -----------------------------------------------------------
+    def _build_catalog(self, src_conf):
+        cat = src_conf.get("file_catalog_path")
+        if cat:  # explicit {iso_datetime: path} JSON (reference goes.py:775)
+            with open(cat) as f:
+                entries = json.load(f)
+            times = [np.datetime64(k) for k in entries]
+            return times, list(entries.values())
+        if self.mode == "remote":
+            return self._remote_catalog(src_conf)
+        path = src_conf.get("path")
+        if not path:
+            raise ValueError(f"{type(self).__name__}: local mode needs "
+                             f"'path' (granule directory)")
+        fmt = src_conf.get("filename_time_format", self.default_time_format)
+        glob_pat = self.local_glob or self.filename_template.format(
+            prefix=src_conf.get("filename_prefix", self.default_prefix),
+            stamp=_strftime_glob(fmt))
+        pattern = os.path.join(path, glob_pat)
+        times, paths = [], []
+        for p in sorted(glob.glob(pattern)):
+            t = self.parse_time_from_name(os.path.basename(p), fmt)
+            if t is not None:
+                times.append(np.datetime64(t))
+                paths.append(p)
+        return times, paths
+
+    def parse_time_from_name(self, name: str, fmt: str):
+        """Granule filename -> datetime; subclasses add native codes."""
+        stem = os.path.splitext(name)[0]
+        stamp = stem.split("_", 1)[1] if "_" in stem else stem
+        try:
+            return dt.datetime.strptime(stamp, fmt)
+        except ValueError:
+            return None
+
+    def _remote_catalog(self, src_conf):
+        raise RuntimeError(
+            f"{type(self).__name__} mode='remote' streams from "
+            f"{self.remote_bucket(src_conf)} via fsspec; this environment "
+            f"has no egress. Download granules (see docs/MIGRATING.md) and "
+            f"point mode='local' path= at them, or pass file_catalog_path.")
+
+    def remote_bucket(self, src_conf) -> str:
+        raise NotImplementedError
+
+    def _match_clock(self) -> np.ndarray:
+        """clock index -> granule index, nearest within tolerance
+        (reference goes.py:1064-1079)."""
+        want = np.asarray([np.datetime64(t) for t in self.clock.all_times])
+        gt = self._granule_times
+        pos = np.searchsorted(gt, want)
+        pos = np.clip(pos, 0, len(gt) - 1)
+        prev = np.clip(pos - 1, 0, len(gt) - 1)
+        d_next = np.abs((gt[pos] - want).astype("timedelta64[s]"))
+        d_prev = np.abs((gt[prev] - want).astype("timedelta64[s]"))
+        best = np.where(d_prev < d_next, prev, pos)
+        dist = np.minimum(d_prev, d_next)
+        tol = (np.timedelta64(0, "s") if self.tolerance is None
+               else self.tolerance.astype("timedelta64[s]"))
+        bad = dist > tol
+        if bad.any():
+            miss = [str(w) for w in want[bad][:5]]
+            raise ValueError(
+                f"{type(self).__name__}: {int(bad.sum())} requested "
+                f"timestamps have no granule within tolerance "
+                f"{self.tolerance or '0s'} (first missing: {miss}; "
+                f"{len(gt)} granules {gt[0]}..{gt[-1]})")
+        return best
+
+    # -- granule IO ---------------------------------------------------------
+    def _open(self, path: str):
+        if path not in self._cache:
+            self._cache[path] = open_dataset(path)
+            self._cache_order.append(path)
+            if len(self._cache_order) > 4:  # small LRU; granules are big
+                self._cache.pop(self._cache_order.pop(0), None)
+        return self._cache[path]
+
+    def granule_for(self, t_idx: int):
+        return self._open(self._granule_paths[int(self._match[t_idx])])
+
+    # -- grid ---------------------------------------------------------------
+    def _compute_latlon(self, ds) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def grid_latlon(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(lat2d, lon2d), extent-cropped — the regrid preblock's source
+        coordinates (reference: grid_utils.write_source_grid_schema)."""
+        self._ensure_grid()
+        si, sj = self._slices
+        lat, lon = self._latlon
+        return lat[si, sj], lon[si, sj]
+
+    def _ensure_grid(self):
+        if self._latlon is None:
+            from credit_tpu.data.projection import extent_slices
+
+            ds = self._open(self._granule_paths[0])
+            self._latlon = self._compute_latlon(ds)
+            self._slices = extent_slices(*self._latlon, self.extent)
+
+    # -- variable read --------------------------------------------------
+    def _select_levels(self, ds, values: np.ndarray) -> np.ndarray:
+        """(level, y, x) -> (y, x, L) for the configured levels; 2-D pass
+        through. Subclasses define the level convention."""
+        return values  # base: 2-D only
+
+    def _read_var(self, base_name: str, t_idx: int, is_static: bool
+                  ) -> np.ndarray:
+        name = self.rename.get(base_name, base_name)
+        if is_static and base_name in self._static_cache:
+            return self._static_cache[base_name]
+        ds = self.granule_for(0 if is_static else t_idx)
+        if name not in ds:
+            raise KeyError(
+                f"variable {name!r} not in granule "
+                f"{self._granule_paths[int(self._match[t_idx])]}")
+        self._ensure_grid()
+        v = np.asarray(ds[name].values, np.float32)
+        v = np.squeeze(v)  # drop singleton time/level dims granules carry
+        out = self._select_levels(ds, v)
+        si, sj = self._slices
+        out = out[si, sj] if out.ndim == 2 else out[si, sj, :]
+        if is_static:
+            self._static_cache[base_name] = out
+        return out
 
 
 @registry.register("dataset", "goes")
-class GOESDataset(ZarrSourceDataset):
-    """GOES ABI imager bands (reference: gen_2/goes.py:371): 2-D channels
-    on the fixed satellite grid; `time_coord` defaults to GOES's 't'."""
+class GOESDataset(GranuleSourceDataset):
+    """GOES ABI imager bands from per-scan NetCDF granules.
+
+    Reference: credit/datasets/gen_2/goes.py:371 — CMI_C## band channels on
+    the fixed satellite projection (no vertical levels), 3-minute default
+    scan tolerance, east (GOES-16/19) / west (GOES-17/18) positions, extent
+    crop on the curvilinear grid. Local filenames use either the native ABI
+    ``_sYYYYJJJHHMMSSt`` start code or ``filename_time_format``.
+    """
 
     dataset_type = "goes"
+    default_tolerance = "3min"
+    default_prefix = "GOES"
+    local_glob = "*.nc"  # native ABI names carry the _s time code
 
     def __init__(self, schema, src_conf, data_conf, **kw):
-        src_conf = dict(src_conf)
-        src_conf.setdefault("time_coord", "t")
+        self.position = src_conf.get("goes_position", "east")
+        self.product = src_conf.get("product", "ABI-L2-MCMIPC")
         super().__init__(schema, src_conf, data_conf, **kw)
 
-    @staticmethod
-    def default_store(src_conf: dict) -> str:
-        return GOES_PATH
+    def parse_time_from_name(self, name, fmt):
+        t = _goes_time_from_name(name)
+        return t if t is not None else super().parse_time_from_name(name, fmt)
+
+    def remote_bucket(self, src_conf) -> str:
+        return (f"{GOES_BUCKET[self.position]}/{self.product}/"
+                f"%Y/%j/%H/")
+
+    def _compute_latlon(self, ds):
+        from credit_tpu.data.projection import (GOES_HEIGHT, GOES_LON_EAST,
+                                                GOES_LON_WEST,
+                                                GOES_SEMI_MAJOR,
+                                                GOES_SEMI_MINOR,
+                                                goes_fixed_grid_to_latlon)
+
+        # projection parameters ride in every granule's
+        # goes_imager_projection variable; fall back to position defaults
+        p = {}
+        if "goes_imager_projection" in ds:
+            p = dict(ds["goes_imager_projection"].attrs)
+        lon0 = float(p.get("longitude_of_projection_origin",
+                           GOES_LON_EAST if self.position == "east"
+                           else GOES_LON_WEST))
+        x = np.asarray(ds["x"].values, np.float64)
+        y = np.asarray(ds["y"].values, np.float64)
+        # ABI granules store scan angles scaled int16; ncio's scipy path
+        # returns raw values with scale/offset attrs on the variable
+        for coord, arr in (("x", x), ("y", y)):
+            at = ds[coord].attrs if hasattr(ds[coord], "attrs") else {}
+            sf, ao = at.get("scale_factor"), at.get("add_offset")
+            if sf is not None:
+                arr *= float(sf)
+            if ao is not None:
+                arr += float(ao)
+            if coord == "x":
+                x = arr
+            else:
+                y = arr
+        return goes_fixed_grid_to_latlon(
+            x, y, lon_origin=lon0,
+            h=float(p.get("perspective_point_height", GOES_HEIGHT)),
+            r_eq=float(p.get("semi_major_axis", GOES_SEMI_MAJOR)),
+            r_pol=float(p.get("semi_minor_axis", GOES_SEMI_MINOR)))
+
+
+# GRIB .idx helpers for HRRR remote mode (reference: gen_2/hrrr.py:310
+# _parse_idx, :374 _fetch_message byte-range math) — pure + offline-testable
+def parse_grib_idx(text: str) -> List[dict]:
+    """NCEP .idx lines 'n:offset:date:VAR:level:fcst' -> entry dicts with
+    byte_start/byte_end (end = next entry's offset - 1, None for last)."""
+    entries = []
+    for line in text.strip().splitlines():
+        parts = line.split(":")
+        if len(parts) < 6:
+            continue
+        entries.append({"n": int(parts[0]), "byte_start": int(parts[1]),
+                        "date": parts[2], "var": parts[3],
+                        "level": parts[4], "forecast": parts[5],
+                        "byte_end": None})
+    for a, b in zip(entries, entries[1:]):
+        a["byte_end"] = b["byte_start"] - 1
+    return entries
+
+
+def select_idx_entries(entries: List[dict], idx_name: str,
+                       idx_level: Optional[str] = None,
+                       pressure_levels: Optional[List[float]] = None
+                       ) -> List[dict]:
+    """Entries for one variable: fixed level string (surface fields) or
+    '{N} mb' pressure levels in the REQUESTED order (reference:
+    hrrr.py:409 _build_prs_entry_map + :434 _resolve_pressure_levels)."""
+    if idx_level is not None:
+        return [e for e in entries
+                if e["var"] == idx_name and e["level"] == idx_level]
+    by_level = {e["level"]: e for e in entries if e["var"] == idx_name}
+    if pressure_levels is None:
+        return list(by_level.values())
+    out = []
+    for lv in pressure_levels:
+        key = f"{int(lv)} mb"
+        if key not in by_level:
+            raise KeyError(f"{idx_name} has no level {key!r} in idx "
+                           f"(available: {sorted(by_level)[:8]}...)")
+        out.append(by_level[key])
+    return out
 
 
 @registry.register("dataset", "hrrr")
 @registry.register("dataset", "HRRR")
-class HRRRDataset(ZarrSourceDataset):
-    """HRRR regional NWP on its native Lambert-conformal grid
-    (reference: gen_2/hrrr.py:677): 3-D variables select hybrid levels via
-    the 'level' coordinate; 2-D surface fields pass through."""
+class HRRRDataset(GranuleSourceDataset):
+    """HRRR regional NWP on its native Lambert-conformal grid.
+
+    Reference: credit/datasets/gen_2/hrrr.py:677 — products 'wrfprs'
+    (pressure levels, selected by VALUE in hPa) and 'wrfnat' (native hybrid
+    levels, selected by 1-based INDEX), surface fields, Lambert 2-D
+    coordinates, extent crop, remote GRIB2 .idx byte-range streaming.
+    Local mode reads NetCDF granule conversions (one file per cycle); the
+    2-D coordinates come from the granule's latitude/longitude arrays when
+    present, else from the standard HRRR Lambert parameters.
+    """
 
     dataset_type = "hrrr"
+    default_tolerance = "30min"
+    default_prefix = "HRRR"
 
-    @staticmethod
-    def default_store(src_conf: dict) -> str:
-        return HRRR_PATH
+    def __init__(self, schema, src_conf, data_conf, **kw):
+        self.product = src_conf.get("product", "wrfprs")
+        if self.product not in ("wrfprs", "wrfnat", "wrfsfc", "wrfsubhf"):
+            raise ValueError(f"unknown HRRR product {self.product!r}")
+        self.levels = src_conf.get("levels")
+        self.level_coord = src_conf.get("level_coord", "level")
+        super().__init__(schema, src_conf, data_conf, **kw)
+        self._lev_idx = None
+
+    def remote_bucket(self, src_conf) -> str:
+        return (f"{HRRR_BUCKET}/hrrr.%Y%m%d/conus/"
+                f"hrrr.t%Hz.{self.product}f00.grib2")
+
+    def _compute_latlon(self, ds):
+        from credit_tpu.data.projection import lambert_grid_latlon, HRRR_PARAMS
+
+        for la, lo in (("latitude", "longitude"), ("lat2d", "lon2d")):
+            if la in ds and lo in ds:
+                return (np.asarray(ds[la].values, np.float64),
+                        np.asarray(ds[lo].values, np.float64))
+        params = {**HRRR_PARAMS, **self.conf.get("projection", {})}
+        # size the computed grid to the granule's y/x extent
+        for name in ds.keys():
+            v = ds[name]
+            if len(v.dims) >= 2 and v.dims[-2:] != ("lat", "lon"):
+                sq = [d for d, n in zip(v.dims, v.shape) if n > 1]
+                if len(sq) >= 2:
+                    params = {**params, "ny": v.shape[-2], "nx": v.shape[-1]}
+                    break
+        return lambert_grid_latlon(params)
+
+    def _level_indices(self, ds) -> np.ndarray:
+        if self._lev_idx is not None:
+            return self._lev_idx
+        if self.levels is None:
+            raise ValueError("HRRR 3-D variables need source 'levels' "
+                             "(hPa values for wrfprs, 1-based indices for "
+                             "wrfnat)")
+        if self.product == "wrfnat":
+            idx = np.asarray([int(v) - 1 for v in self.levels])
+        else:
+            coord = np.asarray(ds[self.level_coord].values, np.float64)
+            idx = []
+            for v in self.levels:
+                j = np.where(np.isclose(coord, float(v)))[0]
+                if len(j) == 0:
+                    raise KeyError(f"pressure level {v} not in granule "
+                                   f"coord {self.level_coord} ({coord})")
+                idx.append(int(j[0]))
+            idx = np.asarray(idx)
+        self._lev_idx = idx
+        return idx
+
+    def _select_levels(self, ds, values):
+        if values.ndim == 2:
+            return values
+        idx = self._level_indices(ds)
+        return np.moveaxis(values[idx], 0, -1)  # (y, x, L)
 
 
 @registry.register("dataset", "mrms")
-class MRMSDataset(ZarrSourceDataset):
-    """MRMS radar mosaics (reference: gen_2/mrms.py:76): 2-D
-    precipitation-rate / reflectivity products, typically diagnostic-only
-    targets for regional training."""
+class MRMSDataset(GranuleSourceDataset):
+    """MRMS radar mosaics: 2-D precipitation/reflectivity products on a
+    regular CONUS lat/lon grid.
+
+    Reference: credit/datasets/gen_2/mrms.py:76 — local NetCDF/zarr files
+    named by ``filename_time_format`` (default one file per timestamp),
+    remote gzipped GRIB2 from noaa-mrms-pds, extent subsetting with 0-360
+    longitude normalization (mrms.py:57 _apply_extent).
+    """
 
     dataset_type = "mrms"
+    default_tolerance = "10min"
+    default_prefix = "MRMS"
 
-    @staticmethod
-    def default_store(src_conf: dict) -> str:
-        return MRMS_PATH
+    def remote_bucket(self, src_conf) -> str:
+        prod = src_conf.get("product", "MultiSensor_QPE_01H_Pass2")
+        return f"{MRMS_BUCKET}/CONUS/{prod}_00.00/%Y%m%d/"
+
+    def _compute_latlon(self, ds):
+        lat = np.asarray(ds["lat"].values, np.float64)
+        lon = np.asarray(ds["lon"].values, np.float64) % 360.0
+        return np.meshgrid(lon, lat)[1], np.meshgrid(lon, lat)[0]
+
+    def _ensure_grid(self):
+        # regular grid: value-based slicing with 0-360 lon normalization
+        if self._latlon is not None:
+            return
+        ds = self._open(self._granule_paths[0])
+        lat2d, lon2d = self._compute_latlon(ds)
+        self._latlon = (lat2d, lon2d)
+        if self.extent is None:
+            self._slices = (slice(None), slice(None))
+            return
+        lon_min, lon_max, lat_min, lat_max = self.extent
+        lon_min, lon_max = lon_min % 360, lon_max % 360
+        lat1d, lon1d = lat2d[:, 0], lon2d[0, :]
+        ii = np.where((lat1d >= lat_min) & (lat1d <= lat_max))[0]
+        jj = np.where((lon1d >= lon_min) & (lon1d <= lon_max))[0]
+        if len(ii) == 0 or len(jj) == 0:
+            raise ValueError(f"extent {self.extent} selects no MRMS cells")
+        self._slices = (slice(int(ii[0]), int(ii[-1]) + 1),
+                        slice(int(jj[0]), int(jj[-1]) + 1))

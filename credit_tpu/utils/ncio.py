@@ -96,7 +96,17 @@ class Dataset:
                 arr = np.asarray(v.values)
                 if arr.dtype == np.float64:
                     arr = arr.astype(np.float32)
-                var = f.createVariable(name, arr.dtype, v.dims)
+                dims_v = v.dims
+                if arr.ndim == 0:
+                    # scalar container vars (e.g. GOES projection attrs):
+                    # netCDF-3/scipy can't write true scalars — promote to a
+                    # shared length-1 dim (readers only use the attrs)
+                    arr = arr.reshape(1)
+                    dims_v = ("scalar",)
+                    if "scalar" not in dims:
+                        dims["scalar"] = 1
+                        f.createDimension("scalar", 1)
+                var = f.createVariable(name, arr.dtype, dims_v)
                 var[:] = arr
                 for ak, av in v.attrs.items():
                     setattr(var, ak, av)
@@ -118,7 +128,8 @@ def open_dataset(path: str) -> Any:
             return v.decode() if isinstance(v, bytes) else v
 
         for name, var in f.variables.items():
-            vals = np.asarray(var[:])
+            vals = np.asarray(var.getValue() if var.dimensions == ()
+                              else var[:])
             if name in dim_names and var.dimensions == (name,):
                 coords[name] = vals
             else:

@@ -247,9 +247,11 @@ def test_tisr_computed_source():
 
 
 def test_hrrr_and_mrms_sources(tmp_path):
-    """HRRR (3-D levels) and MRMS (2-D) on mocked stores through the shared
-    clocked-zarr base (reference: gen_2/hrrr.py:677, mrms.py:76)."""
-    from credit_tpu.data.obs import HRRRDataset, MRMSDataset
+    """User-provided HRRR/MRMS zarr MIRRORS go through the generic zarr
+    source (the real buckets hold GRIB/NetCDF granules — those use the
+    granule readers in credit_tpu/data/obs.py, tests/test_obs_readers.py)."""
+    from credit_tpu.data.era5 import GenericZarrDataset as HRRRDataset
+    from credit_tpu.data.era5 import GenericZarrDataset as MRMSDataset
 
     rng = np.random.default_rng(3)
     root = str(tmp_path / "hrrr")
@@ -260,7 +262,7 @@ def test_hrrr_and_mrms_sources(tmp_path):
     write_array(root, "REFC", rng.uniform(0, 60, (12, 6, 9)).astype(np.float32))
     conf = {"data": {
         "source": {"HRRR": {
-            "dataset_type": "hrrr", "store_path": root,
+            "dataset_type": "zarr", "store_path": root,
             "levels": [1.0, 10.0],
             "variables": {"prognostic": {"vars_3D": ["TMP"],
                                          "vars_2D": ["REFC"]}},
@@ -280,7 +282,7 @@ def test_hrrr_and_mrms_sources(tmp_path):
     write_array(root2, "precip_rate",
                 rng.uniform(0, 20, (12, 6, 9)).astype(np.float32))
     conf2 = {"data": {
-        "source": {"MRMS": {"dataset_type": "mrms", "store_path": root2,
+        "source": {"MRMS": {"dataset_type": "zarr", "store_path": root2,
                             "variables": {"diagnostic":
                                           {"vars_2D": ["precip_rate"]}}}},
         "start_datetime": "2022-06-01T01:00:00",
