@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import subprocess
 import sys
 import threading
 import time
@@ -34,8 +36,54 @@ import numpy as np
 
 # Fail fast instead of hanging forever: device discovery through a remote
 # TPU tunnel can wedge indefinitely (observed after a server-side compile
-# crash). The watchdog fires only if jax.devices() never returns.
+# crash; it cost the round-2 driver bench). Discovery is probed in a
+# SUBPROCESS with short attempts + backoff so a wedged attempt can be
+# killed and re-tried; the in-process watchdog remains as a backstop.
 _DEVICE_TIMEOUT_S = int(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "900"))
+_PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "90"))
+
+
+def _bench_abort(unit: str, msg: str):
+    print(json.dumps({"metric": "bench_error", "value": 0, "unit": unit,
+                      "vs_baseline": 0}), flush=True)
+    print(f"bench: {msg}", file=sys.stderr, flush=True)
+    os._exit(3)
+
+
+def probe_devices():
+    """Device discovery in a killable subprocess: attempt (short timeout) ->
+    backoff -> retry until the overall budget is spent. A wedged tunnel
+    blocks one CHILD, not the bench; a fresh child re-probes cleanly."""
+    deadline = time.time() + _DEVICE_TIMEOUT_S
+    attempt, probe_s, backoff = 0, _PROBE_TIMEOUT_S, 15
+    code = ("import jax; d = jax.devices(); "
+            "print('NDEV=%d PLAT=%s' % (len(d), d[0].platform))")
+    while time.time() < deadline:
+        attempt += 1
+        budget = min(probe_s, max(10.0, deadline - time.time()))
+        t0 = time.time()
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, text=True,
+                                 timeout=budget)
+            m = re.search(r"NDEV=(\d+) PLAT=(\w+)", out.stdout or "")
+            if m:
+                log(f"bench: device probe ok on attempt {attempt} "
+                    f"({time.time() - t0:.1f}s): {m.group(0)}")
+                return int(m.group(1)), m.group(2)
+            log(f"bench: probe attempt {attempt} exited rc={out.returncode} "
+                f"without devices: {(out.stderr or '')[-300:]}")
+        except subprocess.TimeoutExpired:
+            log(f"bench: probe attempt {attempt} timed out after "
+                f"{budget:.0f}s (tunnel wedged?) — killed, backing off")
+        wait = min(backoff, max(0.0, deadline - time.time()))
+        if wait > 0:
+            time.sleep(wait)
+        backoff = min(backoff * 2, 120)
+        probe_s = min(probe_s * 2, 300)
+    _bench_abort("device_init_timeout",
+                 f"device discovery failed within {_DEVICE_TIMEOUT_S}s "
+                 f"({attempt} subprocess probes)")
 
 
 def _device_watchdog():
@@ -43,16 +91,9 @@ def _device_watchdog():
 
     def bark():
         if not flag["ok"]:
-            print(json.dumps({
-                "metric": "bench_error",
-                "value": 0,
-                "unit": "device_init_timeout",
-                "vs_baseline": 0,
-            }), flush=True)
-            print(f"bench: jax device discovery exceeded "
-                  f"{_DEVICE_TIMEOUT_S}s (TPU tunnel wedged?) — aborting",
-                  file=sys.stderr, flush=True)
-            os._exit(3)
+            _bench_abort("device_init_timeout",
+                         f"in-process jax device discovery exceeded "
+                         f"{_DEVICE_TIMEOUT_S}s after a successful probe")
 
     t = threading.Timer(_DEVICE_TIMEOUT_S, bark)
     t.daemon = True
@@ -105,18 +146,11 @@ CONF_FUXI = {
 }
 
 
-def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
-    import jax
-    import jax.numpy as jnp
-
+def _bench_conf(kind: str, bf16: bool):
+    """(conf, h, w, frames) for a benchmark kind — shared by the rollout
+    and training benches."""
     from __graft_entry__ import SMOKE_MODEL_CONF
-    from credit_tpu.data.channels import ChannelSchema
-    from credit_tpu.models import load_model
-    from credit_tpu.rollout import make_scan_rollout
 
-    kind = kind or ("025" if flagship else "1deg")
-    n_steps = {"1deg": N_STEPS_1DEG, "025": N_STEPS_025,
-               "fuxi": N_STEPS_FUXI}[kind]
     base = {"1deg": SMOKE_MODEL_CONF["model"], "025": CONF_025,
             "fuxi": CONF_FUXI}[kind]
     model_conf = {"model": dict(base)}
@@ -149,6 +183,21 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
             }
         },
     }
+    return conf, h, w, frames
+
+
+def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
+    import jax
+    import jax.numpy as jnp
+
+    from credit_tpu.data.channels import ChannelSchema
+    from credit_tpu.models import load_model
+    from credit_tpu.rollout import make_scan_rollout
+
+    kind = kind or ("025" if flagship else "1deg")
+    n_steps = {"1deg": N_STEPS_1DEG, "025": N_STEPS_025,
+               "fuxi": N_STEPS_FUXI}[kind]
+    conf, h, w, frames = _bench_conf(kind, bf16)
     schema = ChannelSchema.from_config(conf)
     model = load_model(conf)
     # inference model: spectral norm FOLDED into the kernels (sigma math is
@@ -293,6 +342,116 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
     }), flush=True)
 
 
+def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3):
+    """Training-step benchmark: fwd + bwd + AdamW on the flagship config,
+    timed as the difference of K- and 2K-step on-device scans (the same
+    tunnel-safe methodology as the rollout bench). Remat on the transformer
+    blocks trades FLOPs for activation memory (reference analogue:
+    models/__init__.py:193 load_fsdp_or_checkpoint_policy AC table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from credit_tpu.data.channels import ChannelSchema
+    from credit_tpu.losses import WeightedLoss
+    from credit_tpu.models import load_model
+    from credit_tpu.trainers.trainer import (TrainState, make_optimizer,
+                                             make_train_step)
+
+    conf, h, w, frames = _bench_conf(kind, bf16)
+    conf["model"]["remat"] = True
+    conf["trainer"] = {"learning_rate": 1e-4}
+    schema = ChannelSchema.from_config(conf)
+    model = load_model(conf)
+    if model.base_output_channels != schema.n_target:
+        # training targets include the diagnostics; the rollout confs leave
+        # output_only at 0 because update_x only splices prognostics
+        conf["model"]["output_only_channels"] = (
+            int(conf["model"].get("output_only_channels", 0))
+            + schema.n_target - model.base_output_channels)
+        model = load_model(conf)
+    tag = f"train-{kind}"
+    log(f"[{tag}] building training step (bf16={bf16}, remat=True)")
+
+    kx, ky, kf = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (1, frames, h, w, schema.n_input),
+                          jnp.float32) * 0.5
+    y = jax.random.normal(ky, (1, 1, h, w, schema.n_target), jnp.float32) * 0.5
+    t0 = time.time()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    jax.block_until_ready(variables)
+    log(f"[{tag}] init: {time.time() - t0:.1f}s")
+    optimizer = make_optimizer(conf, lambda _: 1e-4)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       spectral=variables.get("spectral", {}),
+                       opt_state=optimizer.init(variables["params"]))
+    state = jax.device_put(state)
+    batch = {"x": x, "y": y}
+    raw_step = make_train_step(model, WeightedLoss(base="mse"), optimizer,
+                               schema, forecast_len=1, history_len=frames)
+
+    def build(k):
+        def body(c, i):
+            s, m = raw_step(c, batch,
+                            jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return s, m["loss"]
+
+        def run(st):
+            _, losses = jax.lax.scan(body, st, jnp.arange(k))
+            return losses[-1]
+
+        return jax.jit(run)
+
+    rK, r2K = build(steps), build(2 * steps)
+    flops = None
+    t0 = time.time()
+    try:
+        cK = rK.lower(state).compile()
+        c2K = r2K.lower(state).compile()
+        rK, r2K = cK, c2K
+        ca = cK.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+        log(f"[{tag}] AOT compile K+2K: {time.time() - t0:.1f}s")
+    except Exception as e:
+        log(f"[{tag}] AOT/cost_analysis unavailable: {e}")
+    t0 = time.time()
+    lK = float(rK(state))
+    log(f"[{tag}] {steps}-step compile+run+fetch: {time.time() - t0:.1f}s "
+        f"(loss={lK:.4f})")
+    t0 = time.time()
+    float(r2K(state))
+    log(f"[{tag}] {2 * steps}-step compile+run+fetch: {time.time() - t0:.1f}s")
+
+    def timed(fn, reps=2):
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            _ = float(fn(state))
+            best = min(best, time.time() - t0)
+        return best
+
+    tK, t2K = timed(rK), timed(r2K)
+    per_step = (t2K - tK) / steps
+    if per_step <= 0:
+        per_step = tK / steps
+    mfu = None
+    if flops:
+        peak = PEAK_FLOPS["bfloat16" if bf16 else "float32"]
+        mfu = flops / per_step / peak  # scan body counted once
+        log(f"[{tag}] modeled MFU: {100 * mfu:.1f}% "
+            f"({flops / 1e12:.2f} TFLOP/step @ {peak / 1e12:.0f} peak)")
+    log(f"[{tag}] t{steps}={tK:.3f}s t{2 * steps}={t2K:.3f}s -> "
+        f"{per_step * 1e3:.2f} ms/step ({1.0 / per_step:.2f} steps/s)")
+    out = {"metric": f"wxformer_{kind}deg_train_step"
+           if kind != "fuxi" else "fuxi_train_step",
+           "value": round(1.0 / per_step, 3), "unit": "steps/s",
+           "vs_baseline": 0}
+    if mfu:
+        out["mfu_pct"] = round(100 * mfu, 1)
+    print(json.dumps(out), flush=True)
+
+
 def main():
     bf16 = "--fp32" not in sys.argv
     batch = 1
@@ -302,11 +461,26 @@ def main():
     both = "--all" in sys.argv
     only_1deg = "--1deg" in sys.argv
     only_fuxi = "--fuxi" in sys.argv
+    only_train = "--train" in sys.argv
+    # device discovery in a killable subprocess BEFORE importing jax here
+    # (a wedged tunnel killed the round-2 driver bench at this point)
+    ndev, plat = probe_devices()
+    log(f"bench: {ndev} {plat} device(s) reachable")
+    if only_train:
+        run_train_bench(bf16=bf16)
+        return
     if both or only_1deg:
         run_bench(flagship=False, bf16=bf16)
     if only_fuxi or both:
         run_bench(flagship=False, bf16=bf16, kind="fuxi")
     if both or not (only_1deg or only_fuxi):
+        # training-step line first (the flagship ROLLOUT stays the last
+        # line — the driver records the final line as the headline)
+        if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
+            try:
+                run_train_bench(bf16=bf16)
+            except Exception as e:  # never lose the rollout headline
+                log(f"bench: training-step bench failed: {e!r}")
         run_bench(flagship=True, bf16=bf16, batch=batch)
 
 

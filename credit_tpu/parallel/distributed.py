@@ -97,13 +97,21 @@ def is_primary() -> bool:
 
 
 def barrier(name: str = "credit_barrier"):
-    """Cross-process sync point; device-level psum doubles as a barrier
-    (no separate CPU rendezvous service needed under GSPMD)."""
+    """TRUE cross-process sync point: a psum over a GLOBAL mesh spanning
+    every process's devices — each process contributes its local shard, so
+    the reduction cannot complete until all processes arrive (a pmap/psum
+    over local devices only would return without waiting for peers).
+    Reference analogue: dist.barrier() epoch sync (credit/distributed.py)."""
     if jax.process_count() == 1:
         return
     import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    x = jnp.zeros(())
-    jax.block_until_ready(
-        jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(
-            x[None].repeat(jax.local_device_count(), 0)))
+    mesh = Mesh(np.array(jax.devices()), ("all",))
+    sh = NamedSharding(mesh, P("all"))
+    local = np.ones((jax.local_device_count(),), np.float32)
+    x = jax.make_array_from_process_local_data(sh, local)
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    got = float(jax.block_until_ready(total))
+    assert got == jax.device_count(), (name, got, jax.device_count())
