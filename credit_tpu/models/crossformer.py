@@ -75,6 +75,7 @@ class CrossFormer(BaseModel):
     use_interp: bool = True  # alias used by some configs
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    scan_blocks: bool = False  # scan-over-layers: one block graph per stage
     use_pallas_attention: bool = False
     # fused Pallas FF blocks (ops/pallas_ff.py): 'auto' (on for single-chip
     # TPU inference), 'never' (the XLA composition), 'force' (tests).
@@ -140,6 +141,7 @@ class CrossFormer(BaseModel):
                             use_sn=sn, dtype=dt, remat=self.remat,
                             use_pallas=self.use_pallas_attention,
                             ff_fuse=self.ff_fusion,
+                            scan_blocks=self.scan_blocks,
                             name=f"transformer{i}")(x, train)
             encodings.append(x)
 

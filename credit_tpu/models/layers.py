@@ -365,9 +365,55 @@ class FeedForward(nn.Module):
         return x + y
 
 
+class TransformerBlock(nn.Module):
+    """One (short-attn, FF, long-attn, FF) residual group — the scan body
+    for scan_blocks mode (carry-only signature for nn.scan)."""
+
+    dim: int
+    local_window_size: int
+    global_window_size: int
+    dim_head: int = 32
+    use_sn: bool = True
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    ff_fuse: str = "never"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, _=None):
+        blocks = [
+            WindowAttention(self.dim, "short", self.local_window_size,
+                            self.dim_head, self.use_sn, self.dtype,
+                            self.use_pallas, name="short_attn"),
+            FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype,
+                        fuse=self.ff_fuse, name="short_ff"),
+            WindowAttention(self.dim, "long", self.global_window_size,
+                            self.dim_head, self.use_sn, self.dtype,
+                            self.use_pallas, name="long_attn"),
+            FeedForward(self.dim, use_sn=self.use_sn, dtype=self.dtype,
+                        fuse=self.ff_fuse, name="long_ff"),
+        ]
+        for blk in blocks:
+            # FeedForward includes its residual (fused-kernel friendly);
+            # attention blocks still add it here
+            res = not isinstance(blk, FeedForward)
+            y = blk(x, self.train)
+            x = y + x if res else y
+        return x, None
+
+
 class Transformer(nn.Module):
     """depth x (short-attn, FF, long-attn, FF) with residuals
-    (reference crossformer.py:406)."""
+    (reference crossformer.py:406).
+
+    scan_blocks=True runs the depth identical blocks as ONE lax.scan body
+    over stacked parameters (the scan-over-layers idiom): the compiled
+    module carries one block graph instead of `depth` copies — the lever
+    that fits the 124M flagship TRAINING graph under the remote-compile
+    size ceiling, and cuts compile time ~linearly in depth. Parameter
+    layout changes (blocks/<name> stacked on a leading depth axis);
+    spectral_utils.stack_block_params converts between layouts.
+    """
 
     dim: int
     depth: int
@@ -379,9 +425,25 @@ class Transformer(nn.Module):
     remat: bool = False
     use_pallas: bool = False
     ff_fuse: str = "never"
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.scan_blocks and self.depth > 1:
+            body = TransformerBlock
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0, "spectral": 0, "dpb_cache": 0},
+                split_rngs={"params": True, "noise": True},
+                length=self.depth,
+                metadata_params={nn.meta.PARTITION_NAME: None})
+            x, _ = scan(self.dim, self.local_window_size,
+                        self.global_window_size, self.dim_head, self.use_sn,
+                        self.dtype, self.use_pallas, self.ff_fuse, train,
+                        name="blocks")(x, None)
+            return x
         for i in range(self.depth):
             blocks = [
                 WindowAttention(self.dim, "short", self.local_window_size,
