@@ -53,7 +53,16 @@ def run_realtime(conf: dict, n_steps: Optional[int] = None,
         conf.get("save_loc", "."), "realtime")
     lead_hours = int(conf.get("data", {}).get("lead_time_periods", 6))
 
-    if fields is None:
+    # ensemble realtime: per-member decoded cubes (GEFS control +
+    # perturbations) roll out together on the batch axis
+    # (reference: applications/rollout_realtime_gefs.py + gefs.py:206)
+    member_fields = None
+    if fields is None and rconf.get("member_fields_paths"):
+        member_fields = {}
+        for key, p in dict(rconf["member_fields_paths"]).items():
+            f, coords = load_fields_npz(p)
+            member_fields[key] = f
+    elif fields is None:
         if rconf.get("fields_path"):
             fields, coords = load_fields_npz(rconf["fields_path"])
         elif rconf.get("grib_path"):
@@ -63,7 +72,9 @@ def run_realtime(conf: dict, n_steps: Optional[int] = None,
                       "lon": np.asarray(rconf["src_lon"]),
                       "pressure": np.asarray(rconf["src_pressure"])}
         else:
-            raise ValueError("realtime needs fields_path (npz) or grib_path")
+            raise ValueError("realtime needs fields_path (npz), "
+                             "member_fields_paths ({member: npz}), or "
+                             "grib_path")
 
     # static/forcing channels the NWP analysis lacks come from the training
     # dataset's IC at its first valid time (reference keeps them model-side)
@@ -75,12 +86,23 @@ def run_realtime(conf: dict, n_steps: Optional[int] = None,
                 static[e.name] = np.asarray(x_ref[-1, :, :, e.index])
     except Exception as e:
         logger.debug("no dataset statics for realtime IC (%s)", e)
-    ic = build_gfs_init(
-        exp["schema"], exp["grid"], fields,
-        coords["lat"], coords["lon"], coords.get("pressure"),
-        a_half=np.asarray(exp["grid"].ak) if exp["grid"].ak is not None else None,
-        b_half=np.asarray(exp["grid"].bk) if exp["grid"].bk is not None else None,
-        static_fields=static)
+    ak = np.asarray(exp["grid"].ak) if exp["grid"].ak is not None else None
+    bk = np.asarray(exp["grid"].bk) if exp["grid"].bk is not None else None
+    members = None
+    if member_fields is not None:
+        from credit_tpu.nwp import build_gefs_init
+
+        ic, members = build_gefs_init(
+            exp["schema"], exp["grid"], member_fields,
+            coords["lat"], coords["lon"], coords.get("pressure"),
+            a_half=ak, b_half=bk, static_fields=static)
+        logger.info("realtime ensemble: %d members (%s)", len(members),
+                    ", ".join(members))
+    else:
+        ic = build_gfs_init(
+            exp["schema"], exp["grid"], fields,
+            coords["lat"], coords["lon"], coords.get("pressure"),
+            a_half=ak, b_half=bk, static_fields=static)
 
     cls = load_trainer(conf)
     trainer = cls(conf, exp["model"], exp["loss"], exp["valid_loss"],
@@ -105,9 +127,18 @@ def run_realtime(conf: dict, n_steps: Optional[int] = None,
     written = []
 
     def writer(step, y):
-        p = save_netcdf_increment(y[0], exp["schema"], exp["grid"], save_dir,
-                                  label, (step + 1) * lead_hours)
-        written.append(p)
+        if members is not None:  # one directory per ensemble member
+            for i, m in enumerate(members):
+                p = save_netcdf_increment(
+                    y[i], exp["schema"], exp["grid"],
+                    os.path.join(save_dir, m), label,
+                    (step + 1) * lead_hours)
+                written.append(p)
+        else:
+            p = save_netcdf_increment(y[0], exp["schema"], exp["grid"],
+                                      save_dir, label,
+                                      (step + 1) * lead_hours)
+            written.append(p)
 
     engine.run(x0, n_steps, on_step=writer)
     logger.info("realtime: wrote %d files to %s", len(written), save_dir)

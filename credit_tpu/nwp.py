@@ -189,3 +189,37 @@ def unstagger_winds(u_s: np.ndarray, v_w: np.ndarray):
     u_a = 0.5 * (u_s[..., :-1] + u_s[..., 1:])
     v_a = 0.5 * (v_w[..., :-1, :] + v_w[..., 1:, :])
     return u_a, v_a
+
+
+def member_order(member_fields: Dict[str, Dict[str, np.ndarray]]):
+    """Deterministic member ordering: control first, then p01..pNN
+    (reference: gefs.py:206 assembles gec00 + gep## in member order)."""
+    return sorted(member_fields, key=lambda k: (k not in ("c00", "gec00"), k))
+
+
+def build_gefs_init(schema: ChannelSchema, grid,
+                    member_fields: Dict[str, Dict[str, np.ndarray]],
+                    src_lat: np.ndarray, src_lon: np.ndarray,
+                    src_pressure: Optional[np.ndarray] = None,
+                    a_half: Optional[np.ndarray] = None,
+                    b_half: Optional[np.ndarray] = None,
+                    method: str = "bilinear",
+                    variable_map: Optional[Dict[str, str]] = None,
+                    static_fields: Optional[Dict[str, np.ndarray]] = None):
+    """Assemble the GEFS ensemble IC cube: every member (control gec00 +
+    perturbations gep01..gepNN) through the same regrid + vertical-interp
+    pipeline, stacked on the leading ensemble axis.
+
+    member_fields: {member_key: {var: array}} — decoded per-member cubes
+    (from per-member GRIBs via load_gfs_grib, npz sidecars, or the
+    gefs_member_paths() bucket listing).
+    Returns ((E, 1, H, W, n_input) IC, [member keys in stack order]).
+    Reference: credit/gefs.py:206 member download + assembly feeding the
+    ensemble realtime apps (applications/rollout_realtime*.py).
+    """
+    order = member_order(member_fields)
+    ics = [build_gfs_init(schema, grid, member_fields[m], src_lat, src_lon,
+                          src_pressure, a_half, b_half, method,
+                          variable_map, static_fields)
+           for m in order]
+    return np.concatenate(ics, axis=0), order

@@ -127,3 +127,78 @@ def test_realtime_app_end_to_end(tmp_path, gfs_cube):
 
     files = sorted(os.listdir(tmp_path / "rt" / "2024-01-01T00Z"))
     assert files == ["pred_2024-01-01T00Z_006.nc", "pred_2024-01-01T00Z_012.nc"]
+
+
+def test_build_gefs_init_members(gfs_cube):
+    """Ensemble IC assembly: control + perturbations stack to (E, 1, H, W, C)
+    in member order (reference: gefs.py:206 member assembly)."""
+    from credit_tpu.nwp import build_gefs_init
+
+    fields, src_lat, src_lon, src_p = gfs_cube
+    rng = np.random.default_rng(7)
+    members = {"p02": {k: v + rng.normal(0, 0.1, v.shape).astype(np.float32)
+                       for k, v in fields.items()},
+               "c00": fields,
+               "p01": {k: v + rng.normal(0, 0.1, v.shape).astype(np.float32)
+                       for k, v in fields.items()}}
+    schema = ChannelSchema.from_config(CONF)
+    grid = Grid.regular(H, W, levels=[30000.0, 50000.0, 70000.0, 85000.0])
+    ic, order = build_gefs_init(schema, grid, members, src_lat, src_lon, src_p)
+    assert order == ["c00", "p01", "p02"]  # control first
+    assert ic.shape == (3, 1, H, W, schema.n_input)
+    assert np.isfinite(ic).all()
+    # members differ (perturbations survive regrid + interp)
+    assert not np.allclose(ic[0], ic[1])
+    assert not np.allclose(ic[1], ic[2])
+
+
+def test_realtime_ensemble_end_to_end(tmp_path, gfs_cube):
+    """GEFS-style ensemble realtime: per-member npz cubes -> one batched
+    rollout -> per-member output directories (reference:
+    applications/rollout_realtime with GEFS members)."""
+    fields, src_lat, src_lon, src_p = gfs_cube
+    rng = np.random.default_rng(11)
+    paths = {}
+    for m in ("c00", "p01", "p02"):
+        f = {k: (v if m == "c00" else
+                 v + rng.normal(0, 0.1, v.shape).astype(np.float32))
+             for k, v in fields.items()}
+        p = tmp_path / f"{m}.npz"
+        np.savez(p, lat=src_lat, lon=src_lon, pressure=src_p, **f)
+        paths[m] = str(p)
+
+    conf = {
+        "save_loc": str(tmp_path / "ckpt"),
+        "data": {**CONF["data"], "history_len": 1, "forecast_len": 1,
+                 "lead_time_periods": 6, "n_times": 12},
+        "trainer": {"type": "era5-v2", "learning_rate": 1e-3,
+                    "train_batch_size": 1, "preflight": False},
+        "model": {"type": "debugger", "image_height": H, "image_width": W,
+                  "levels": 4, "channels": 2, "surface_channels": 1,
+                  "input_only_channels": 1, "output_only_channels": 0,
+                  "frames": 1, "output_frames": 1},
+        "loss": {"training_loss": "mse"},
+        "realtime": {"member_fields_paths": paths,
+                     "forecast_steps": 2, "init_label": "2024-01-01T00Z",
+                     "save_forecast": str(tmp_path / "rt")},
+    }
+    from credit_tpu.applications.realtime import run_realtime
+
+    written = run_realtime(conf)
+    assert len(written) == 6  # 3 members x 2 steps
+    import os
+
+    for m in ("c00", "p01", "p02"):
+        files = sorted(os.listdir(tmp_path / "rt" / m / "2024-01-01T00Z"))
+        assert files == ["pred_2024-01-01T00Z_006.nc",
+                         "pred_2024-01-01T00Z_012.nc"], (m, files)
+    # members produce distinct forecasts
+    from credit_tpu.utils.ncio import open_dataset
+
+    a = open_dataset(str(tmp_path / "rt" / "c00" / "2024-01-01T00Z" /
+                         "pred_2024-01-01T00Z_006.nc"))
+    b = open_dataset(str(tmp_path / "rt" / "p01" / "2024-01-01T00Z" /
+                         "pred_2024-01-01T00Z_006.nc"))
+    diffs = [np.abs(np.asarray(a[v].values) - np.asarray(b[v].values)).max()
+             for v in a.keys()]
+    assert max(diffs) > 1e-3, diffs
