@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, List, Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from credit_tpu import registry
 from credit_tpu.data.channels import ChannelSchema
@@ -125,6 +126,13 @@ class WetMaskSamudra(BasePostblock):
     target channel by the wet mask (1 = ocean)."""
 
     def __init__(self, schema: ChannelSchema, wet_mask, **_):
+        if isinstance(wet_mask, str):  # path to a netCDF mask file
+            from credit_tpu.utils.ncio import open_dataset
+
+            ds = open_dataset(wet_mask)
+            name = ("wet_mask" if "wet_mask" in ds
+                    else next(iter(ds.keys())))
+            wet_mask = np.asarray(ds[name].values)
         self.mask = jnp.asarray(wet_mask, jnp.float32)  # (lat, lon) or (lat, lon, L)
 
     def __call__(self, y_pred, x):
@@ -467,8 +475,11 @@ def build_postblocks(conf: dict, schema: ChannelSchema, grid,
     from credit_tpu.postblock import wind_filter as _wf  # noqa: F401
 
     # gen1 PostBlock op order: tracer -> SKEBS -> mass -> water -> energy
-    # (reference postblock/gen1.py:37), then diagnostics and filters
-    order = ["tracer_fixer", "skebs", "global_mass_fixer", "global_water_fixer",
+    # (reference postblock/gen1.py:37), then diagnostics and filters;
+    # wet_mask first so land stays zero through everything downstream
+    # (reference: gen2 postblock registry 'wet_mask_samudra')
+    order = ["wet_mask_samudra",
+             "tracer_fixer", "skebs", "global_mass_fixer", "global_water_fixer",
              "global_energy_fixer", "semilagrangian_advection",
              "wind_artifact_filter", "mslp_diagnostic", "geopotential_diagnostic"]
     blocks: List[Callable] = []

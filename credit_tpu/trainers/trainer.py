@@ -195,7 +195,10 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
 
             if s + 1 < forecast_len:
                 forcing = batch.get("forcing")
-                f_next = None if forcing is None else forcing[:, s + 1][:, None]
+                # frame s is valid at t0+1+s — exactly the NEXT state's time
+                # (batch forcing frames align with the targets; the rollout
+                # apps use the same state-time convention, experiment.py:175)
+                f_next = None if forcing is None else forcing[:, s][:, None]
                 new_frame = schema.update_x(x[:, -1:], y_pred[:, -1:], f_next)
                 if history_len > 1:
                     x = jnp.concatenate([x[:, 1:], new_frame], axis=1)
@@ -314,7 +317,8 @@ def make_eval_step(model, loss_fn: Callable, schema: ChannelSchema,
                     var_metrics[k] = var_metrics.get(k, 0.0) + v / forecast_len
             if s + 1 < forecast_len:
                 forcing = batch.get("forcing")
-                f_next = None if forcing is None else forcing[:, s + 1][:, None]
+                # same state-time forcing convention as the train step
+                f_next = None if forcing is None else forcing[:, s][:, None]
                 new_frame = schema.update_x(x[:, -1:], y_pred[:, -1:], f_next)
                 x = jnp.concatenate([x[:, 1:], new_frame], axis=1) if history_len > 1 else new_frame
         return {"loss": total / forecast_len, **var_metrics}
