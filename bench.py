@@ -342,7 +342,8 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
     }), flush=True)
 
 
-def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3):
+def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
+                    spectral_norm: bool = True):
     """Training-step benchmark: fwd + bwd + AdamW on the flagship config,
     timed as the difference of K- and 2K-step on-device scans (the same
     tunnel-safe methodology as the rollout bench). Remat on the transformer
@@ -359,7 +360,14 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3):
 
     conf, h, w, frames = _bench_conf(kind, bf16)
     conf["model"]["remat"] = True
+    if kind != "fuxi":
+        # scan-over-layers: the unrolled flagship TRAINING graph serializes
+        # to 8.7 MB of StableHLO and the remote-compile tunnel rejects it
+        # (HTTP 413); scanning the depth-8 stage drops it to 3.3 MB
+        conf["model"]["scan_blocks"] = True
     conf["trainer"] = {"learning_rate": 1e-4}
+    if not spectral_norm:
+        conf["model"]["use_spectral_norm"] = False
     schema = ChannelSchema.from_config(conf)
     model = load_model(conf)
     if model.base_output_channels != schema.n_target:
@@ -449,6 +457,8 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3):
            "vs_baseline": 0}
     if mfu:
         out["mfu_pct"] = round(100 * mfu, 1)
+    if not spectral_norm:
+        out["note"] = "spectral_norm off (module over tunnel body limit)"
     print(json.dumps(out), flush=True)
 
 
@@ -466,8 +476,18 @@ def main():
     # (a wedged tunnel killed the round-2 driver bench at this point)
     ndev, plat = probe_devices()
     log(f"bench: {ndev} {plat} device(s) reachable")
+    # trim traceback locations from lowerings: the remote-compile tunnel
+    # rejects bodies over ~4 MB, and location metadata is ~20% of it
+    import jax
+
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
     if only_train:
-        run_train_bench(bf16=bf16)
+        try:
+            run_train_bench(bf16=bf16, spectral_norm="--nosn" not in sys.argv)
+        except Exception as e:
+            log(f"bench: training-step bench failed: {e!r}")
+            if "413" in str(e) or "length limit" in str(e):
+                run_train_bench(bf16=bf16, spectral_norm=False)
         return
     if both or only_1deg:
         run_bench(flagship=False, bf16=bf16)
@@ -479,8 +499,16 @@ def main():
         if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
             try:
                 run_train_bench(bf16=bf16)
-            except Exception as e:  # never lose the rollout headline
+            except Exception as e:
                 log(f"bench: training-step bench failed: {e!r}")
+                if "413" in str(e) or "length limit" in str(e):
+                    # spectral-norm power-iteration graphs push the module
+                    # past the tunnel's remote-compile body limit — retry
+                    # without SN (caveat recorded in the JSON note)
+                    try:
+                        run_train_bench(bf16=bf16, spectral_norm=False)
+                    except Exception as e2:  # never lose the rollout headline
+                        log(f"bench: SN-off training bench failed: {e2!r}")
         run_bench(flagship=True, bf16=bf16, batch=batch)
 
 

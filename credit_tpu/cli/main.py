@@ -548,13 +548,29 @@ def cmd_convert_checkpoint(args):
         convert_crossformer, convert_fuxi, load_torch_checkpoint)
 
     conf = _load(args)
+    manifest = getattr(args, "dry_run_manifest", None)
+    if manifest:
+        # validate the HF interchange path without network: exact key/shape
+        # layout of the published checkpoint, synthesized values
+        from credit_tpu.manifests import (MANIFEST_MODEL_CONF,
+                                          synthesize_state_dict)
+
+        conf = dict(conf)
+        conf["model"] = dict(MANIFEST_MODEL_CONF[manifest])
+        sd = synthesize_state_dict(manifest)
     exp = build_experiment(conf)
     model, schema = exp["model"], exp["schema"]
     x = jnp.zeros((1, int(conf.get("data", {}).get("history_len", 1)) or 1,
                    conf["model"]["image_height"], conf["model"]["image_width"],
                    schema.n_input), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
-    sd = load_torch_checkpoint(args.torch_checkpoint)
+    if manifest:
+        # shapes/structure only — every leaf is overwritten by the converter
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        sd = load_torch_checkpoint(args.torch_checkpoint)
     convert = (convert_fuxi if conf["model"]["type"] == "fuxi"
                else convert_crossformer)
     variables = convert(sd, variables, strict=not args.lenient)
@@ -687,9 +703,12 @@ def build_parser():
     sp = sub.add_parser("convert-checkpoint",
                         help="torch .pt checkpoint -> orbax checkpoint")
     sp.add_argument("config")
-    sp.add_argument("torch_checkpoint")
+    sp.add_argument("torch_checkpoint", nargs="?", default=None)
     sp.add_argument("--out", default=None)
     sp.add_argument("--lenient", action="store_true")
+    sp.add_argument("--dry-run-manifest", default=None,
+                    help="validate against a vendored HF key/shape manifest "
+                         "(wxformer_6h | fuxi_6h) instead of a .pt file")
     sp.set_defaults(fn=cmd_convert_checkpoint)
 
     sp = sub.add_parser("benchmark", help="parallelism micro-benchmark")

@@ -28,8 +28,14 @@ def _stub(name, pkg=False):
         return
     m = types.ModuleType(name)
     m.__file__ = f"<stub {name}>"
+    # torch._dynamo.trace_rules probes find_spec(<module>) — a None __spec__
+    # raises ValueError there, so give stubs a real ModuleSpec
+    import importlib.machinery as _mach
+
+    m.__spec__ = _mach.ModuleSpec(name, loader=None)
     if pkg:
         m.__path__ = []
+        m.__spec__.submodule_search_locations = []
 
     def ga(k):
         if k.startswith("__"):
