@@ -17,6 +17,115 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def benchmark_halo(n_devices: Optional[int] = None, h: int = 128,
+                   w: int = 256, c: int = 64, k: int = 3,
+                   steps: int = 20) -> dict:
+    """GSPMD auto-halo vs EXPLICIT shard_map halo exchange on a lat-sharded
+    stencil — the domain-parallel hot path.
+
+    The production model path relies on GSPMD inserting halo exchanges for
+    spatially-sharded convs; parallel/halo.py is the explicit ppermute
+    analogue of the reference's hand-rolled exchange
+    (reference: credit/domain_parallel/halo_exchange.py:20). This benchmark
+    (a) asserts forward AND gradient parity of the two paths against the
+    unsharded stencil, (b) counts the collective ops each compiles to, and
+    (c) times both — the measured GSPMD-is-at-parity evidence PERF.md cites.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from credit_tpu.parallel.halo import halo_exchange
+
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    mesh = Mesh(np.array(devices[:n]), ("domain",))
+    halo = (k - 1) // 2
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, h, w, c), jnp.float32)
+    kern = jax.random.normal(jax.random.fold_in(key, 1), (k, k, c, c),
+                             jnp.float32) * 0.05
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def stencil(x, kern):
+        return lax.conv_general_dilated(x, kern, (1, 1), "SAME",
+                                        dimension_numbers=dn)
+
+    def loop(fn):
+        def run(x, kern):
+            def body(z, _):
+                return fn(z, kern), None
+            out, _ = lax.scan(body, x, None, length=steps)
+            return out
+        return run
+
+    # single-device reference
+    ref = jax.jit(loop(stencil))(x, kern)
+
+    # (a) GSPMD: shard lat, let XLA insert the halo exchanges
+    xsh = NamedSharding(mesh, P(None, "domain", None, None))
+    rep = NamedSharding(mesh, P())
+    gspmd = jax.jit(loop(stencil), in_shardings=(xsh, rep),
+                    out_shardings=xsh)
+
+    # (b) explicit: shard_map + parallel/halo.py ppermute ring, conv VALID
+    # in lat over the halo-extended block, SAME in lon
+    def local_stencil(xb, kern):
+        xe = halo_exchange(xb, halo, "domain")
+        return lax.conv_general_dilated(
+            xe, kern, (1, 1), [(0, 0), (halo, halo)], dimension_numbers=dn)
+
+    explicit = jax.jit(shard_map(
+        loop(local_stencil), mesh=mesh,
+        in_specs=(P(None, "domain", None, None), P()),
+        out_specs=P(None, "domain", None, None)))
+
+    x_g = jax.device_put(x, xsh)
+    k_g = jax.device_put(kern, rep)
+    y_g = gspmd(x_g, k_g)
+    y_e = explicit(x_g, k_g)
+    err_g = float(jnp.max(jnp.abs(y_g - ref)))
+    err_e = float(jnp.max(jnp.abs(y_e - ref)))
+
+    # gradient parity (the explicit path exercises halo_exchange's VJP)
+    def loss(fn):
+        return jax.grad(lambda xx: jnp.sum(fn(xx, k_g) ** 2))
+    g_ref = jax.jit(loss(jax.jit(loop(stencil))))(x)
+    g_g = loss(gspmd)(x_g)
+    g_e = loss(explicit)(x_g)
+    gerr_g = float(jnp.max(jnp.abs(g_g - g_ref)))
+    gerr_e = float(jnp.max(jnp.abs(g_e - g_ref)))
+
+    def collectives(fn, *args):
+        txt = fn.lower(*args).compile().as_text()
+        return {op: txt.count(op) for op in
+                ("collective-permute", "all-gather", "all-reduce")}
+
+    def timed(fn, *args):
+        jax.block_until_ready(fn(*args))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.time() - t0)
+        return best / steps
+
+    out = {
+        "n_devices": n, "shape": [h, w, c], "kernel": k, "steps": steps,
+        "fwd_err_gspmd": err_g, "fwd_err_explicit": err_e,
+        "grad_err_gspmd": gerr_g, "grad_err_explicit": gerr_e,
+        "ms_per_step_gspmd": round(1e3 * timed(gspmd, x_g, k_g), 4),
+        "ms_per_step_explicit": round(1e3 * timed(explicit, x_g, k_g), 4),
+        "collectives_gspmd": collectives(gspmd, x_g, k_g),
+        "collectives_explicit": collectives(explicit, x_g, k_g),
+    }
+    logger.info("halo bench %s", out)
+    return out
+
+
 def benchmark_parallelism(conf: dict,
                           combos: Optional[Sequence[Tuple[int, int, int]]] = None,
                           steps: int = 5, warmup: int = 2) -> List[dict]:

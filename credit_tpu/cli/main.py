@@ -403,6 +403,12 @@ srun bash -c 'CREDIT_PROCESS_ID=$SLURM_PROCID python -m credit_tpu.cli train {ar
 
 
 def cmd_benchmark(args):
+    if getattr(args, "halo", False):
+        # GSPMD auto-halo vs explicit shard_map halo exchange
+        from credit_tpu.applications.benchmark import benchmark_halo
+
+        print(json.dumps(benchmark_halo(steps=args.steps), indent=1))
+        return 0
     from credit_tpu.applications.benchmark import benchmark_parallelism
 
     combos = None
@@ -712,10 +718,12 @@ def build_parser():
     sp.set_defaults(fn=cmd_convert_checkpoint)
 
     sp = sub.add_parser("benchmark", help="parallelism micro-benchmark")
-    sp.add_argument("config")
+    sp.add_argument("config", nargs="?", default=None)
     sp.add_argument("--steps", type=int, default=5)
     sp.add_argument("--combos", default=None,
                     help="comma list of dpxtpxdomain, e.g. 1x1x1,2x1x2")
+    sp.add_argument("--halo", action="store_true",
+                    help="GSPMD auto-halo vs explicit halo-exchange bench")
     sp.set_defaults(fn=cmd_benchmark)
 
     sp = sub.add_parser("solar", help="precompute TSI solar-forcing files")

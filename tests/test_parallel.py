@@ -156,3 +156,20 @@ def test_sharding_validator():
     ok = {"trainer": {"train_batch_size": 4},
           "model": {"image_height": 180, "num_heads": 4, "dim": [32, 64]}}
     assert validate_sharding(ok, mesh=mesh) == []
+
+
+def test_halo_benchmark_parity():
+    """benchmark_halo: GSPMD auto-halo and the explicit shard_map
+    halo-exchange path both match the unsharded stencil, forward and
+    gradient (the PERF.md GSPMD-is-at-parity evidence; gives
+    parallel/halo.py its production consumer)."""
+    from credit_tpu.applications.benchmark import benchmark_halo
+
+    out = benchmark_halo(n_devices=4, h=32, w=48, c=8, k=3, steps=3)
+    assert out["fwd_err_gspmd"] < 1e-4
+    assert out["fwd_err_explicit"] < 1e-4
+    assert out["grad_err_gspmd"] < 1e-3
+    assert out["grad_err_explicit"] < 1e-3
+    # both paths actually communicate (halo rings compiled in)
+    assert out["collectives_gspmd"]["collective-permute"] > 0
+    assert out["collectives_explicit"]["collective-permute"] > 0
