@@ -75,6 +75,60 @@ def make_pallas_conv(hp, wp, cin, cout, kh, kw, th, dtype):
     return run
 
 
+def make_blocked_pallas_conv(hp, wp, cin, cout, kh, kw, th, dtype):
+    """Tunnel-safe BLOCKED formulation (round-3 probe): no manual DMA /
+    memory_space=ANY (those crash the remote compile helper — PERF.md).
+
+    The row halo comes from passing the input TWICE with standard
+    BlockSpecs: a main (th, wp) block at row-tile i and a (kh-1, wp) halo
+    block at element offset (i+1)*th — expressible with block-aligned
+    index maps when th % (kh-1) == 0. Out-of-range blocks at the ragged
+    last tile are handled by pallas's grid padding (OOB writes masked).
+    Taps accumulate as (th*wp, cin) @ (cin, cout) MXU matmuls with
+    pltpu.roll for the column shifts, as in the manual-DMA version.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ho, wo = hp - kh + 1, wp - kw + 1
+    halo = kh - 1
+    assert th % halo == 0, (th, halo)
+    n_tiles = -(-ho // th)  # ceil: last tile ragged, OOB masked
+
+    def kernel(xm, xh, k_ref, o_ref):
+        rows_all = jnp.concatenate([xm[0], xh[0]], axis=0)  # (th+halo, wp, cin)
+        acc = jnp.zeros((th * wp, cout), jnp.float32)
+        for di in range(kh):
+            rows = rows_all[di:di + th]
+            for dj in range(kw):
+                sl = pltpu.roll(rows, wp - dj, 1) if dj else rows
+                acc = acc + jnp.dot(sl.reshape(th * wp, cin), k_ref[di, dj],
+                                    preferred_element_type=jnp.float32)
+        out = acc.reshape(th, wp, cout)[:, :wo, :]
+        o_ref[...] = out.astype(dtype).reshape(1, th, wo, cout)
+
+    def run(p, k):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, th, wp, cin), lambda i: (0, i, 0, 0)),
+                # halo: rows (i+1)*th .. +halo — block units of `halo` rows,
+                # so block index (i+1)*th//halo (exact: th % halo == 0)
+                pl.BlockSpec((1, halo, wp, cin),
+                             lambda i: (0, (i + 1) * (th // halo), 0, 0)),
+                pl.BlockSpec((kh, kw, cin, cout), lambda i: (0, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, th, wo, cout), lambda i: (0, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((1, n_tiles * th, wo, cout), dtype),
+        )(p, p, k)
+
+    def cropped(p, k):
+        return run(p, k)[:, :ho]
+
+    return cropped
+
+
 def timed(fn, args, reps_a=4, reps_b=12):
     def loop(n):
         def run(x):
@@ -94,6 +148,7 @@ def timed(fn, args, reps_a=4, reps_b=12):
 
 def main():
     th = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    blocked = "--blocked" in sys.argv
     hp, wp, cin, cout, kh = 415, 735, 240, 176, 8
     ho, wo = hp - 7, wp - 7  # 408, 728
     dtype = jnp.bfloat16
@@ -106,16 +161,20 @@ def main():
     print(f"xla       : {ms:7.2f} ms ({gf / ms:6.1f} TF/s)", flush=True)
 
     ref = np.asarray(xla_conv(p, k), np.float32)
-    try:
-        run = make_pallas_conv(hp, wp, cin, cout, kh, kh, th, dtype)
-        out = np.asarray(run(p, k), np.float32)
-        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
-        ms = timed(run, (p, k))
-        print(f"pallas t{th:<3d}: {ms:7.2f} ms ({gf / ms:6.1f} TF/s) "
-              f"rel_err={err:.2e}", flush=True)
-    except Exception as e:
-        print(f"pallas t{th:<3d}: FAILED {type(e).__name__}: {str(e)[:400]}",
-              flush=True)
+    variants = ([("blocked", make_blocked_pallas_conv)] if blocked
+                else [("dma", make_pallas_conv),
+                      ("blocked", make_blocked_pallas_conv)])
+    for name, maker in variants:
+        try:
+            run = maker(hp, wp, cin, cout, kh, kh, th, dtype)
+            out = np.asarray(run(p, k), np.float32)
+            err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+            ms = timed(run, (p, k))
+            print(f"pallas-{name} t{th:<3d}: {ms:7.2f} ms "
+                  f"({gf / ms:6.1f} TF/s) rel_err={err:.2e}", flush=True)
+        except Exception as e:
+            print(f"pallas-{name} t{th:<3d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:400]}", flush=True)
 
 
 if __name__ == "__main__":
