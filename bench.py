@@ -334,12 +334,14 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
               "fuxi": "fuxi_640x1280_rollout"}[kind]
     vsb = (steps_per_s / BASELINE_STEPS_PER_S if kind == "1deg"
            else gridpoints_per_s / base_gps)
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
         "vs_baseline": round(vsb, 3),
-    }), flush=True)
+    }
+    print(json.dumps(out), flush=True)
+    return out
 
 
 def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
@@ -411,6 +413,19 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
         return jax.jit(run)
 
     rK, r2K = build(steps), build(2 * steps)
+    # LOCAL size guard: the remote-compile tunnel rejects bodies over ~4 MB
+    # with HTTP 413, and repeated oversize posts have WEDGED the tunnel for
+    # hours (round-2 postmortem). Never hand it a program we can already
+    # see is too big.
+    limit = int(os.environ.get("BENCH_MODULE_LIMIT", "3500000"))
+    asm = rK.lower(state).compiler_ir("stablehlo").operation.get_asm(
+        binary=True, enable_debug_info=True)
+    log(f"[{tag}] serialized module: {len(asm) / 1e6:.2f} MB "
+        f"(guard {limit / 1e6:.1f} MB)")
+    if len(asm) > limit:
+        raise RuntimeError(
+            f"module too large for the remote-compile tunnel "
+            f"({len(asm)} > {limit} bytes) — skipping instead of wedging it")
     flops = None
     t0 = time.time()
     try:
@@ -482,34 +497,50 @@ def main():
 
     jax.config.update("jax_include_full_tracebacks_in_locations", False)
     if only_train:
+        sn = "--nosn" not in sys.argv
         try:
-            run_train_bench(bf16=bf16, spectral_norm="--nosn" not in sys.argv)
-        except Exception as e:
-            log(f"bench: training-step bench failed: {e!r}")
-            if "413" in str(e) or "length limit" in str(e):
+            run_train_bench(bf16=bf16, spectral_norm=sn)
+        except RuntimeError as e:
+            if sn and "too large" in str(e):
+                log("bench: SN-on module over the tunnel limit; SN-off")
                 run_train_bench(bf16=bf16, spectral_norm=False)
+            else:
+                raise
         return
     if both or only_1deg:
         run_bench(flagship=False, bf16=bf16)
     if only_fuxi or both:
         run_bench(flagship=False, bf16=bf16, kind="fuxi")
     if both or not (only_1deg or only_fuxi):
-        # training-step line first (the flagship ROLLOUT stays the last
-        # line — the driver records the final line as the headline)
+        # ROLLOUT FIRST — it is the headline and must be banked before the
+        # riskier training compile touches the tunnel; its JSON line is
+        # re-printed at the very end (the driver records the LAST line)
+        headline = run_bench(flagship=True, bf16=bf16, batch=batch)
         if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
+            # the training bench runs in a KILLABLE SUBPROCESS with its own
+            # budget: a slow/wedged training compile must never take the
+            # banked headline down with it. --nosn: the SN-on flagship
+            # module reliably exceeds the tunnel body limit (PERF.md).
+            budget = int(os.environ.get("BENCH_TRAIN_TIMEOUT_S", "1500"))
+            cmd = [sys.executable, os.path.abspath(__file__), "--train",
+                   "--nosn"]
+            if not bf16:
+                cmd.append("--fp32")
             try:
-                run_train_bench(bf16=bf16)
-            except Exception as e:
-                log(f"bench: training-step bench failed: {e!r}")
-                if "413" in str(e) or "length limit" in str(e):
-                    # spectral-norm power-iteration graphs push the module
-                    # past the tunnel's remote-compile body limit — retry
-                    # without SN (caveat recorded in the JSON note)
-                    try:
-                        run_train_bench(bf16=bf16, spectral_norm=False)
-                    except Exception as e2:  # never lose the rollout headline
-                        log(f"bench: SN-off training bench failed: {e2!r}")
-        run_bench(flagship=True, bf16=bf16, batch=batch)
+                r = subprocess.run(cmd, timeout=budget, text=True,
+                                   capture_output=True)
+                sys.stderr.write(r.stderr or "")
+                for line in (r.stdout or "").splitlines():
+                    if line.startswith("{"):
+                        print(line, flush=True)
+            except subprocess.TimeoutExpired as e:
+                err = e.stderr
+                if isinstance(err, bytes):
+                    err = err.decode(errors="replace")
+                sys.stderr.write(err or "")
+                log(f"bench: training bench exceeded {budget}s — killed")
+        if headline:
+            print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
