@@ -400,13 +400,16 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     raw_step = make_train_step(model, WeightedLoss(base="mse"), optimizer,
                                schema, forecast_len=1, history_len=frames)
 
+    # the batch rides as a jit ARGUMENT: closing over concrete device
+    # arrays embeds them as module constants on this backend (~1 GB of
+    # serialized weights/batch — instant rejection by the tunnel)
     def build(k):
-        def body(c, i):
-            s, m = raw_step(c, batch,
-                            jax.random.fold_in(jax.random.PRNGKey(1), i))
-            return s, m["loss"]
+        def run(st, b):
+            def body(c, i):
+                s, m = raw_step(c, b,
+                                jax.random.fold_in(jax.random.PRNGKey(1), i))
+                return s, m["loss"]
 
-        def run(st):
             _, losses = jax.lax.scan(body, st, jnp.arange(k))
             return losses[-1]
 
@@ -418,7 +421,7 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     # hours (round-2 postmortem). Never hand it a program we can already
     # see is too big.
     limit = int(os.environ.get("BENCH_MODULE_LIMIT", "3500000"))
-    asm = rK.lower(state).compiler_ir("stablehlo").operation.get_asm(
+    asm = rK.lower(state, batch).compiler_ir("stablehlo").operation.get_asm(
         binary=True, enable_debug_info=True)
     log(f"[{tag}] serialized module: {len(asm) / 1e6:.2f} MB "
         f"(guard {limit / 1e6:.1f} MB)")
@@ -429,8 +432,8 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     flops = None
     t0 = time.time()
     try:
-        cK = rK.lower(state).compile()
-        c2K = r2K.lower(state).compile()
+        cK = rK.lower(state, batch).compile()
+        c2K = r2K.lower(state, batch).compile()
         rK, r2K = cK, c2K
         ca = cK.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -439,18 +442,18 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     except Exception as e:
         log(f"[{tag}] AOT/cost_analysis unavailable: {e}")
     t0 = time.time()
-    lK = float(rK(state))
+    lK = float(rK(state, batch))
     log(f"[{tag}] {steps}-step compile+run+fetch: {time.time() - t0:.1f}s "
         f"(loss={lK:.4f})")
     t0 = time.time()
-    float(r2K(state))
+    float(r2K(state, batch))
     log(f"[{tag}] {2 * steps}-step compile+run+fetch: {time.time() - t0:.1f}s")
 
     def timed(fn, reps=2):
         best = np.inf
         for _ in range(reps):
             t0 = time.time()
-            _ = float(fn(state))
+            _ = float(fn(state, batch))
             best = min(best, time.time() - t0)
         return best
 
@@ -521,7 +524,10 @@ def main():
             # budget: a slow/wedged training compile must never take the
             # banked headline down with it. --nosn: the SN-on flagship
             # module reliably exceeds the tunnel body limit (PERF.md).
-            budget = int(os.environ.get("BENCH_TRAIN_TIMEOUT_S", "1500"))
+            # observed full cost: ~23s init + ~120s AOT compile + ~25 min
+            # ONE-TIME argument upload (state ~1.5 GB f32 through the
+            # tunnel) + seconds of steps => ~35 min worst case
+            budget = int(os.environ.get("BENCH_TRAIN_TIMEOUT_S", "2700"))
             cmd = [sys.executable, os.path.abspath(__file__), "--train",
                    "--nosn"]
             if not bf16:

@@ -139,7 +139,7 @@ def benchmark_parallelism(conf: dict,
     from credit_tpu.models import load_model
     from credit_tpu.parallel.mesh import build_mesh
     from credit_tpu.parallel.sharding import (
-        batch_sharding, replicated, tree_param_shardings)
+        batch_sharding, opt_state_shardings, replicated, tree_param_shardings)
     from credit_tpu.trainers.trainer import TrainState, make_optimizer, make_train_step
 
     n_dev = len(jax.devices())
@@ -180,8 +180,7 @@ def benchmark_parallelism(conf: dict,
                 spectral=jax.device_put(state.spectral, rep),
                 opt_state=jax.device_put(
                     state.opt_state,
-                    jax.tree_util.tree_map(lambda _: rep, state.opt_state,
-                                           is_leaf=lambda l: hasattr(l, "shape"))),
+                    opt_state_shardings(state.opt_state, state.params, mesh)),
                 step=jax.device_put(state.step, rep))
             batch = {"x": jax.device_put(x, bshard), "y": jax.device_put(y, bshard)}
             raw_step = make_train_step(model, loss_fn, optimizer, schema, 1)
@@ -190,13 +189,15 @@ def benchmark_parallelism(conf: dict,
             # per-dispatch overhead (seconds through a remote-TPU tunnel)
             # would otherwise dominate, and block_until_ready returns at
             # enqueue there. Timing = difference of K and 2K runs.
+            # batch rides as a jit ARGUMENT — closed-over device arrays
+            # can be embedded as module constants on the tunnel backend
             def build(k):
-                def body(c, i):
-                    s, m = raw_step(c, batch, jax.random.fold_in(
-                        jax.random.PRNGKey(1), i))
-                    return s, m["loss"]
+                def run(st, b):
+                    def body(c, i):
+                        s, m = raw_step(c, b, jax.random.fold_in(
+                            jax.random.PRNGKey(1), i))
+                        return s, m["loss"]
 
-                def run(st):
                     st2, losses = jax.lax.scan(body, st, jnp.arange(k))
                     return losses[-1]
 
@@ -209,8 +210,8 @@ def benchmark_parallelism(conf: dict,
             flops = bytes_acc = None
             t0 = time.time()
             try:
-                cK = rK.lower(state).compile()
-                c2K = r2K.lower(state).compile()
+                cK = rK.lower(state, batch).compile()
+                c2K = r2K.lower(state, batch).compile()
                 rK, r2K = cK, c2K
                 ca = cK.cost_analysis()
                 ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -219,14 +220,14 @@ def benchmark_parallelism(conf: dict,
                 bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
             except Exception:
                 pass
-            loss = float(rK(state))  # compile (if not AOT) + warm
-            float(r2K(state))
+            loss = float(rK(state, batch))  # compile (if not AOT) + warm
+            float(r2K(state, batch))
             compile_s = time.time() - t0
             t0 = time.time()
-            loss = float(rK(state))
+            loss = float(rK(state, batch))
             tK = time.time() - t0
             t0 = time.time()
-            float(r2K(state))
+            float(r2K(state, batch))
             t2K = time.time() - t0
             dt = (t2K - tK) / steps
             if dt <= 0:

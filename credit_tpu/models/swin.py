@@ -224,9 +224,28 @@ class SwinStageV2(nn.Module):
     window_size: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.scan_blocks and self.depth >= 2 and self.depth % 2 == 0:
+            # scan-over-layers: the natural body is the (unshifted, shifted)
+            # block PAIR — Swin alternates the window shift, so depth/2
+            # identical pairs scan over stacked params (one pair graph in
+            # the module instead of depth block graphs; the FuXi depth-16
+            # training-module size lever, see models/layers.py Transformer)
+            body = _SwinBlockPair
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth // 2,
+                metadata_params={nn.meta.PARTITION_NAME: None})
+            x, _ = scan(self.dim, self.num_heads, self.window_size,
+                        self.dtype, name="blocks")(x, None)
+            return x
         for i in range(self.depth):
             blk = SwinBlockV2(self.dim, self.num_heads, self.window_size,
                               shift=0 if i % 2 == 0 else self.window_size // 2,

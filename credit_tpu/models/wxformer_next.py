@@ -130,6 +130,7 @@ class NextGenWXFormer(BaseModel):
     use_spectral_norm: bool = True
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    scan_blocks: bool = False  # scan-over-layers (see models/layers.py)
 
     @property
     def base_input_channels(self):
@@ -180,6 +181,7 @@ class NextGenWXFormer(BaseModel):
                                 dtype=dt, name=f"cel{i}")(h, train)
             h = Transformer(dims[i], depths[i], lws[i], gws[i], self.dim_head,
                             use_sn=sn, dtype=dt, remat=self.remat,
+                            scan_blocks=self.scan_blocks,
                             name=f"transformer{i}")(h, train)
             encodings.append(h)
 

@@ -451,9 +451,12 @@ class Trainer:
             preblocks=tuple(pre_step), preblocks_ic=tuple(pre_ic),
             postblocks=tuple(post), metrics_fn=self.metrics_fn,
             return_final_state=self.replay is not None)
+        # donate the state: params/moments/EMA buffers are reused in place
+        # by XLA instead of allocating a second copy per step (~2 GB saved
+        # at flagship scale); fit() never touches the donated input again
         self._train_step = jax.jit(make_train_step(
             model, loss_fn, self.optimizer, schema, self.forecast_len,
-            self.backprop_on, **self._step_kw))
+            self.backprop_on, **self._step_kw), donate_argnums=(0,))
         self._step_cache = {self.forecast_len: self._train_step}
         # scheduled-rollout sampling: anneal the epoch's rollout length from
         # short to forecast_len (reference: scheduler.py:220
@@ -484,7 +487,7 @@ class Trainer:
                   if self.backprop_on else None)
             self._step_cache[flen] = jax.jit(make_train_step(
                 self.model, self.loss_fn, self.optimizer, self.schema,
-                flen, bp, **self._step_kw))
+                flen, bp, **self._step_kw), donate_argnums=(0,))
         return self._step_cache[flen]
 
     def _scheduled_forecast_len(self, epoch: int, seed: int) -> int:
