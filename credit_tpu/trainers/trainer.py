@@ -474,9 +474,20 @@ class Trainer:
             metrics_fn=self.metrics_fn, preblocks=tuple(pre_step),
             preblocks_ic=tuple(pre_ic), postblocks=tuple(post)))
 
-    def _train_step_for(self, flen: int):
+    def _train_step_for(self, flen: int, donate: bool = True):
         """Jitted train step for a scheduled rollout length (cached per
-        length — one XLA program per distinct length, reused across epochs)."""
+        length — one XLA program per distinct length, reused across epochs).
+        donate=False builds an undonated variant (cached separately) for
+        callers that re-invoke the step or differentiate through it."""
+        if not donate:
+            key = (flen, "nodonate")
+            if key not in self._step_cache:
+                bp = ([b for b in self.backprop_on if b < flen] or [flen - 1]
+                      if self.backprop_on else None)
+                self._step_cache[key] = jax.jit(make_train_step(
+                    self.model, self.loss_fn, self.optimizer, self.schema,
+                    flen, bp, **self._step_kw))
+            return self._step_cache[key]
         if flen not in self._step_cache:
             # keep truncated-backprop semantics under rollout_schedule: if
             # every configured step is beyond the scheduled length, backprop

@@ -63,7 +63,9 @@ def test_samudra_wet_mask_zeroes_land_gradients(tmp_path):
     batch = {k: jnp.asarray(v) for k, v in ds.batch([2, 3], 1).items()
              if v is not None}
     key = jax.random.PRNGKey(5)
-    step = trainer._train_step_for(trainer.forecast_len)
+    # undonated step: jax.grad re-invokes the jit after the primal
+    # execution, which would hit donated (deleted) buffers
+    step = trainer._train_step_for(trainer.forecast_len, donate=False)
 
     def loss_of(x):
         _, m = step(state, dict(batch, x=x), key)
@@ -122,7 +124,8 @@ def test_wrf_multi_boundary_forcing_enters_each_step(tmp_path):
              if v is not None}
     assert batch["forcing"].shape[1] == 2  # one boundary frame per step
     key = jax.random.PRNGKey(5)
-    step = trainer._train_step_for(trainer.forecast_len)
+    # undonated step: loss_of is called repeatedly with the same state
+    step = trainer._train_step_for(trainer.forecast_len, donate=False)
 
     def loss_of(forcing):
         _, m = step(state, dict(batch, forcing=forcing), key)

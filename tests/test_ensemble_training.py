@@ -56,10 +56,11 @@ def test_ensemble_crps_training_step(tmp_path, rng):
     state = trainer.init_state(jax.random.PRNGKey(0))
     batch = {k: jnp.asarray(v) for k, v in ds.batch([2, 3], 1).items()
              if v is not None}
+    # snapshot BEFORE the step: _train_step donates its input state
+    l0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     state2, metrics = trainer._train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["finite"]) == 1.0
     # params actually moved
-    l0 = jax.tree_util.tree_leaves(state.params)[0]
     l1 = jax.tree_util.tree_leaves(state2.params)[0]
-    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    assert not np.allclose(l0, np.asarray(l1))

@@ -203,8 +203,9 @@ def test_backprop_on_timestep_subset(setup):
     state = t2.init_state(jax.random.PRNGKey(0))
     batch = {k: jnp.asarray(v) for k, v in
              dataset.batch([2, 3], t2.forecast_len).items() if v is not None}
+    # snapshot BEFORE the step: _train_step donates its input state
+    l0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     state2, metrics = t2._train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
-    l0 = jax.tree_util.tree_leaves(state.params)[0]
     l1 = jax.tree_util.tree_leaves(state2.params)[0]
-    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    assert not np.allclose(l0, np.asarray(l1))

@@ -94,28 +94,34 @@ def make_blocked_pallas_conv(hp, wp, cin, cout, kh, kw, th, dtype):
     halo = kh - 1
     assert th % halo == 0, (th, halo)
     n_tiles = -(-ho // th)  # ceil: last tile ragged, OOB masked
+    # Mosaic can only collapse (th, wpp, cin) -> (th*wpp, cin) when the
+    # second-minor dim is sublane-tile aligned (16 for bf16); pad width.
+    # Padded columns roll into output cols >= wo, which are dropped.
+    wpp = -(-wp // 16) * 16
 
     def kernel(xm, xh, k_ref, o_ref):
-        rows_all = jnp.concatenate([xm[0], xh[0]], axis=0)  # (th+halo, wp, cin)
-        acc = jnp.zeros((th * wp, cout), jnp.float32)
+        rows_all = jnp.concatenate([xm[0], xh[0]], axis=0)  # (th+halo, wpp, cin)
+        acc = jnp.zeros((th * wpp, cout), jnp.float32)
         for di in range(kh):
             rows = rows_all[di:di + th]
             for dj in range(kw):
-                sl = pltpu.roll(rows, wp - dj, 1) if dj else rows
-                acc = acc + jnp.dot(sl.reshape(th * wp, cin), k_ref[di, dj],
+                sl = pltpu.roll(rows, wpp - dj, 1) if dj else rows
+                acc = acc + jnp.dot(sl.reshape(th * wpp, cin), k_ref[di, dj],
                                     preferred_element_type=jnp.float32)
-        out = acc.reshape(th, wp, cout)[:, :wo, :]
+        out = acc.reshape(th, wpp, cout)[:, :wo, :]
         o_ref[...] = out.astype(dtype).reshape(1, th, wo, cout)
 
     def run(p, k):
+        if wpp != wp:
+            p = jnp.pad(p, ((0, 0), (0, 0), (0, wpp - wp), (0, 0)))
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, th, wp, cin), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((1, th, wpp, cin), lambda i: (0, i, 0, 0)),
                 # halo: rows (i+1)*th .. +halo — block units of `halo` rows,
                 # so block index (i+1)*th//halo (exact: th % halo == 0)
-                pl.BlockSpec((1, halo, wp, cin),
+                pl.BlockSpec((1, halo, wpp, cin),
                              lambda i: (0, (i + 1) * (th // halo), 0, 0)),
                 pl.BlockSpec((kh, kw, cin, cout), lambda i: (0, 0, 0, 0)),
             ],
