@@ -146,7 +146,7 @@ CONF_FUXI = {
 }
 
 
-def _bench_conf(kind: str, bf16: bool):
+def _bench_conf(kind: str, bf16: bool, pallas: bool = False):
     """(conf, h, w, frames) for a benchmark kind — shared by the rollout
     and training benches."""
     from __graft_entry__ import SMOKE_MODEL_CONF
@@ -156,6 +156,11 @@ def _bench_conf(kind: str, bf16: bool):
     model_conf = {"model": dict(base)}
     if bf16:
         model_conf["model"]["compute_dtype"] = "bfloat16"
+    if pallas and base.get("type") == "crossformer":
+        # conv-emitter-free graph: embeds/decoder convs as Pallas kernels +
+        # GEMMs, which lets the fused-FF kernel turn on (docs/PERF.md)
+        model_conf["model"]["pallas_conv"] = "auto"
+        model_conf["model"]["ff_fusion"] = "auto"
     levels = {"1deg": 18, "025": 13, "fuxi": 16}[kind]
     h, w = {"1deg": (181, 360), "025": (721, 1440),
             "fuxi": (640, 1280)}[kind]
@@ -186,7 +191,8 @@ def _bench_conf(kind: str, bf16: bool):
     return conf, h, w, frames
 
 
-def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
+def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1,
+              pallas: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -197,7 +203,7 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
     kind = kind or ("025" if flagship else "1deg")
     n_steps = {"1deg": N_STEPS_1DEG, "025": N_STEPS_025,
                "fuxi": N_STEPS_FUXI}[kind]
-    conf, h, w, frames = _bench_conf(kind, bf16)
+    conf, h, w, frames = _bench_conf(kind, bf16, pallas=pallas)
     schema = ChannelSchema.from_config(conf)
     model = load_model(conf)
     # inference model: spectral norm FOLDED into the kernels (sigma math is
@@ -345,7 +351,7 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1):
 
 
 def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
-                    spectral_norm: bool = True):
+                    spectral_norm: bool = True, batch: int = 1):
     """Training-step benchmark: fwd + bwd + AdamW on the flagship config,
     timed as the difference of K- and 2K-step on-device scans (the same
     tunnel-safe methodology as the rollout bench). Remat on the transformer
@@ -383,9 +389,10 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     log(f"[{tag}] building training step (bf16={bf16}, remat=True)")
 
     kx, ky, kf = jax.random.split(jax.random.PRNGKey(0), 3)
-    x = jax.random.normal(kx, (1, frames, h, w, schema.n_input),
+    x = jax.random.normal(kx, (batch, frames, h, w, schema.n_input),
                           jnp.float32) * 0.5
-    y = jax.random.normal(ky, (1, 1, h, w, schema.n_target), jnp.float32) * 0.5
+    y = jax.random.normal(ky, (batch, 1, h, w, schema.n_target),
+                          jnp.float32) * 0.5
     t0 = time.time()
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     jax.block_until_ready(variables)
@@ -475,6 +482,8 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
            "vs_baseline": 0}
     if mfu:
         out["mfu_pct"] = round(100 * mfu, 1)
+    if batch > 1:
+        out["batch"] = batch
     if not spectral_norm:
         out["note"] = "spectral_norm off (module over tunnel body limit)"
     print(json.dumps(out), flush=True)
@@ -490,6 +499,7 @@ def main():
     only_1deg = "--1deg" in sys.argv
     only_fuxi = "--fuxi" in sys.argv
     only_train = "--train" in sys.argv
+    pallas = "--pallas" in sys.argv
     # device discovery in a killable subprocess BEFORE importing jax here
     # (a wedged tunnel killed the round-2 driver bench at this point)
     ndev, plat = probe_devices()
@@ -502,11 +512,11 @@ def main():
     if only_train:
         sn = "--nosn" not in sys.argv
         try:
-            run_train_bench(bf16=bf16, spectral_norm=sn)
+            run_train_bench(bf16=bf16, spectral_norm=sn, batch=batch)
         except RuntimeError as e:
             if sn and "too large" in str(e):
                 log("bench: SN-on module over the tunnel limit; SN-off")
-                run_train_bench(bf16=bf16, spectral_norm=False)
+                run_train_bench(bf16=bf16, spectral_norm=False, batch=batch)
             else:
                 raise
         return
@@ -518,7 +528,8 @@ def main():
         # ROLLOUT FIRST — it is the headline and must be banked before the
         # riskier training compile touches the tunnel; its JSON line is
         # re-printed at the very end (the driver records the LAST line)
-        headline = run_bench(flagship=True, bf16=bf16, batch=batch)
+        headline = run_bench(flagship=True, bf16=bf16, batch=batch,
+                             pallas=pallas)
         if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
             # the training bench runs in a KILLABLE SUBPROCESS with its own
             # budget: a slow/wedged training compile must never take the

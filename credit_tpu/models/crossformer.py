@@ -88,6 +88,14 @@ class CrossFormer(BaseModel):
     # the reproduction; transposes/optimization_barrier/scoped-vmem flags
     # do not insulate it). Net effect at 0.25 deg: 142 -> 220 ms/step.
     ff_fusion: str = "never"
+    # Pallas/GEMM forms for ALL convs (ops/pallas_conv.py): embeds'
+    # space-to-depth stride-1 convs run as blocked Pallas kernels (measured
+    # at parity with XLA's fast emitter on the flagship stage-0 shape) and
+    # 1x1 convs become plain dots, so no XLA conv emitter remains in the
+    # graph. This is the prerequisite for ff_fusion: with XLA convs present,
+    # any downstream pallas call flips them onto a ~4x slower emitter.
+    # 'never' | 'auto' (single-chip TPU) | 'force' (CPU tests, interpreted).
+    pallas_conv: str = "never"
     # camulator delta: zero-init 3x3 'sharp' residual conv on the decoder
     # output, EXCLUDED from spectral norm (reference camulator.py:22-26
     # apply_spectral_norm skips names containing 'sharp'; :78-94 zero-init)
@@ -109,6 +117,17 @@ class CrossFormer(BaseModel):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x: (B, T, H, W, C_in_base) -> (B, T_out, H, W, C_out_base)."""
+        from credit_tpu.ops import conv as conv_ops
+        from credit_tpu.ops import pallas_ff
+
+        pallas_on = ((self.pallas_conv == "force"
+                      or (self.pallas_conv == "auto"
+                          and pallas_ff.fuse_ok_auto() and not train))
+                     and not self.is_initializing())
+        with conv_ops.pallas_convs(pallas_on):
+            return self._forward(x, train)
+
+    def _forward(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         dims = _tup(self.dim)
         depths = _tup(self.depth)
         gws = _tup(self.global_window_size)

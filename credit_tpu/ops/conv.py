@@ -11,12 +11,49 @@ where possible for full tiling.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from jax import lax
 
 _DN = ("NHWC", "HWIO", "NHWC")
+
+# When set, stride-1 VALID convs route through the blocked Pallas kernel
+# (ops/pallas_conv.py) and 1x1 convs become plain GEMMs, so NO XLA conv
+# emitter appears in the graph. This is what lets the fused-FF Pallas
+# kernel turn on without flipping XLA's convs onto their ~4x slower
+# emitter (docs/PERF.md). Trace-time static: enter the context around the
+# model body (CrossFormer.pallas_conv).
+_PALLAS_CONVS = contextvars.ContextVar("pallas_convs", default=False)
+
+
+@contextlib.contextmanager
+def pallas_convs(enable: bool = True):
+    tok = _PALLAS_CONVS.set(bool(enable))
+    try:
+        yield
+    finally:
+        _PALLAS_CONVS.reset(tok)
+
+
+def _pallas_valid_conv(x, kernel, bias, accum_dtype):
+    """Stride-1 VALID conv with the conv emitter taken out of the graph:
+    1x1 -> GEMM; otherwise the blocked Pallas kernel when it supports the
+    shape; None when it doesn't (caller falls back to lax)."""
+    from credit_tpu.ops import pallas_conv as pc
+
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    if kh == 1 and kw == 1:
+        out = pc.matmul_1x1(x, kernel.astype(x.dtype))
+    elif pc.supports(x.shape, kernel.shape, x.dtype):
+        out = pc.conv2d_valid(x, kernel.astype(x.dtype))
+    else:
+        return None
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 def _pair(v) -> Tuple[int, int]:
@@ -50,14 +87,29 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
     """
     s = _pair(stride)
     kh, kw = kernel.shape[0], kernel.shape[1]
+    use_pallas = _PALLAS_CONVS.get()
     if not isinstance(padding, str):
         ph, pw = _pair(padding)
-        if (s == (2, 2) and kh % 2 == 0 and kw % 2 == 0 and kh >= 8
+        # under pallas mode the s2d rewrite applies to ALL even-kernel
+        # stride-2 convs (not just kh >= 8): the resulting stride-1 conv
+        # is what the Pallas kernel / GEMM form needs
+        if (s == (2, 2) and kh % 2 == 0 and kw % 2 == 0
+                and (kh >= 8 or use_pallas)
                 and (x.shape[1] + 2 * ph) % 2 == 0
                 and (x.shape[2] + 2 * pw) % 2 == 0):
             return _conv2d_s2d(x, kernel, bias, (ph, pw), accum_dtype)
+        if use_pallas and s == (1, 1):
+            xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0))) \
+                if (ph or pw) else x
+            out = _pallas_valid_conv(xp, kernel, bias, accum_dtype)
+            if out is not None:
+                return out
         pad = ((ph, ph), (pw, pw))
     else:
+        if use_pallas and s == (1, 1) and padding == "VALID":
+            out = _pallas_valid_conv(x, kernel, bias, accum_dtype)
+            if out is not None:
+                return out
         pad = padding
     out = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=s, padding=pad,
@@ -88,6 +140,10 @@ def _conv2d_s2d(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
     k2 = kernel.reshape(kh // 2, 2, kw // 2, 2, cin, cout)
     k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(kh // 2, kw // 2,
                                                 4 * cin, cout)
+    if _PALLAS_CONVS.get():
+        out = _pallas_valid_conv(p, k2, bias, accum_dtype)
+        if out is not None:
+            return out
     out = lax.conv_general_dilated(
         p, k2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
         dimension_numbers=_DN, preferred_element_type=_accum(x, accum_dtype),
@@ -182,10 +238,15 @@ def _conv_transpose2d_d2s(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
         rows.append(jnp.stack(cols, axis=0))
     k2 = jnp.stack(rows, axis=0)  # (wh, ww, cin, 4*cout)
     xp = jnp.pad(x, ((0, 0), (-dh0, dh1), (-dw0, dw1), (0, 0)))
-    y = lax.conv_general_dilated(
-        xp, k2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
-        dimension_numbers=_DN, preferred_element_type=_accum(x, accum_dtype),
-    ).astype(x.dtype)
+    y = None
+    if _PALLAS_CONVS.get():
+        y = _pallas_valid_conv(xp, k2, None, accum_dtype)
+    if y is None:
+        y = lax.conv_general_dilated(
+            xp, k2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+            dimension_numbers=_DN,
+            preferred_element_type=_accum(x, accum_dtype),
+        ).astype(x.dtype)
     # depth-to-space: (N, H, W, 2, 2, C) -> (N, 2H, 2W, C)
     y = y.reshape(n, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(n, 2 * h, 2 * w, cout)

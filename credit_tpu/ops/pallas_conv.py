@@ -1,0 +1,223 @@
+"""Stride-1 VALID 2-D convolution as a blocked Pallas TPU kernel.
+
+Why this exists: XLA's fast blocked-VMEM conv emitter turns itself OFF for
+any conv whose output reaches a Pallas custom call (measured 4x regression,
+docs/PERF.md "Pallas kernels"). Inside a jitted rollout scan everything is
+downstream of everything, so enabling the fused-FF Pallas kernel (2.1x per
+block in isolation) used to flip every patch-embed conv onto the slow
+emitter and lose net. The fix is to take the conv emitter out of the
+equation: run the embeds' convs as Pallas kernels too.
+
+All the model's strided embeds reduce to stride-1 VALID convs via
+space-to-depth (ops/conv.py), so one kernel shape covers them:
+
+  grid = (N, ceil(Ho / th)) row bands; each step sees a (th, W, Cin) main
+  block plus a (kh-1, W, Cin) halo block (the same input passed twice with
+  standard BlockSpecs — no manual DMA, which crashes the tunnel's remote
+  compile helper). Taps accumulate as (th*W, Cin) @ (Cin, Cout) MXU
+  matmuls. Column shifts: Mosaic's rotate only supports 32-bit data, so
+  instead of rolling the bf16 input per tap we accumulate each kernel
+  COLUMN's partial product in f32 and roll that (kw-1 f32 rolls total);
+  out[:, j] needs input column j+dj for kernel column dj, so the partial
+  rolls left by dj. Width pads to the sublane tile (Mosaic can only
+  collapse (th, W, Cin) -> (th*W, Cin) when W is sublane-aligned); padded
+  columns wrap into output columns >= Wo, which are never read.
+
+Measured (one v5e, flagship stage-0 embed shape 415x735x240 -> 408x728x176,
+kh=kw=8, th=7): 14.8 ms vs XLA's fast emitter at 14.4 ms — parity, which
+is the point: with embeds in Pallas the fused-FF win is no longer taxed.
+Reference for the op semantics: credit/models/wxformer/crossformer.py
+(Conv2d patch embeds); this kernel is TPU-native, not a translation.
+
+Training: conv2d_valid carries a custom VJP whose backward runs the
+standard XLA conv-grad formulas — the Pallas forward is an inference
+optimization; gradients are exact (same math, f32 accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# real VMEM budget measured on v5e through the tunnel: a kernel with ~30 MB
+# of scoped buffers runs; ~60 MB hits FAILED_PRECONDITION at runtime even
+# with the compiler limit raised. Stay well under.
+_VMEM_BUDGET = 34 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _sublane(dtype) -> int:
+    # second-minor native tile: 8 (f32) / 16 (bf16) / 32 (int8)
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+def _vmem_estimate(th, wpp, cin, cout, kh, kw, wo, itemsize) -> int:
+    """Rough scoped-VMEM model calibrated against the compiler's report
+    (30.02 MB for th=7, 415x735(->736)x240 -> 176, kh=kw=8, bf16)."""
+    main = th * wpp * cin * itemsize
+    halo = max(kh - 1, 0) * wpp * cin * itemsize
+    kern = kh * kw * cin * cout * itemsize
+    accs = 2 * th * wpp * cout * 4          # pd + acc, f32
+    outb = th * wo * cout * itemsize
+    concat = (th + max(kh - 1, 0)) * wpp * cin * itemsize
+    # double-buffered pipeline blocks (in/out), single kernel + accumulators
+    return 2 * (main + halo + outb) + kern + accs + concat
+
+
+def pick_tile(ho, wp, cin, cout, kh, kw, dtype) -> Optional[int]:
+    """Largest row-tile th (multiple of the halo kh-1) whose buffers fit
+    the measured VMEM budget; None if even the minimum doesn't fit."""
+    itemsize = jnp.dtype(dtype).itemsize
+    sl = _sublane(dtype)
+    wpp = -(-wp // sl) * sl
+    wo = wp - kw + 1
+    halo = max(kh - 1, 1)
+    best = None
+    th = halo
+    while th <= max(ho, halo):
+        if _vmem_estimate(th, wpp, cin, cout, kh, kw, wo, itemsize) \
+                <= _VMEM_BUDGET:
+            best = th
+        else:
+            break
+        th += halo
+    return best
+
+
+def supports(x_shape, k_shape, dtype) -> bool:
+    """Static applicability: NHWC x (kh,kw,Cin,Cout), stride-1 VALID."""
+    if jnp.dtype(dtype).itemsize not in (2, 4):
+        return False
+    n, hp, wp, cin = x_shape
+    kh, kw, kcin, cout = k_shape
+    if kcin != cin or kh < 1 or kw < 1:
+        return False
+    if hp < kh or wp < kw:
+        return False
+    # cin not sublane-aligned is zero-padded inside _forward
+    sl = _sublane(dtype)
+    cin = -(-cin // sl) * sl
+    ho = hp - kh + 1
+    return pick_tile(ho, wp, cin, cout, kh, kw, dtype) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conv2d_valid(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 VALID conv, NHWC/HWIO, Pallas forward + XLA-grad backward."""
+    return _forward(x, kernel)
+
+
+def _forward(x, kernel):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hp, wp, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    dtype = x.dtype
+    ho, wo = hp - kh + 1, wp - kw + 1
+    sl = _sublane(dtype)
+    wpp = -(-wp // sl) * sl
+    # the in-kernel (th*W, Cin) collapse needs sublane-aligned Cin: pad
+    # input + kernel with zero channels (zero contribution, exact result)
+    if cin % sl:
+        cpad = sl - cin % sl
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cpad)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cpad), (0, 0)))
+        cin += cpad
+    th = pick_tile(ho, wp, cin, cout, kh, kw, dtype)
+    if th is None:
+        raise ValueError(f"pallas conv2d_valid: no tile fits VMEM for "
+                         f"{x.shape} * {kernel.shape}")
+    halo = kh - 1
+    n_tiles = -(-ho // th)
+
+    def kern_fn(xm, xh, k_ref, o_ref):
+        if halo:
+            rows_all = jnp.concatenate([xm[0], xh[0]], axis=0)
+        else:
+            rows_all = xm[0]
+        acc = jnp.zeros((th, wpp, cout), jnp.float32)
+        for dj in range(kw):
+            pd = jnp.zeros((th * wpp, cout), jnp.float32)
+            for di in range(kh):
+                pd = pd + jnp.dot(
+                    rows_all[di:di + th].reshape(th * wpp, cin),
+                    k_ref[di, dj], preferred_element_type=jnp.float32)
+            p3 = pd.reshape(th, wpp, cout)
+            acc = acc + (pltpu.roll(p3, wpp - dj, 1) if dj else p3)
+        o_ref[...] = acc[:, :wo, :].astype(dtype).reshape(1, th, wo, cout)
+
+    if wpp != wp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wpp - wp), (0, 0)))
+
+    in_specs = [pl.BlockSpec((1, th, wpp, cin), lambda b, i: (b, i, 0, 0))]
+    args = [x]
+    if halo:
+        # halo rows (i+1)*th .. +halo: block units of `halo` rows, index
+        # (i+1)*th//halo — exact because th % halo == 0 (pick_tile)
+        in_specs.append(pl.BlockSpec(
+            (1, halo, wpp, cin),
+            lambda b, i: (b, (i + 1) * (th // halo), 0, 0)))
+        args.append(x)
+    else:
+        def kern_fn(xm, k_ref, o_ref, _inner=kern_fn):  # noqa: F811
+            _inner(xm, None, k_ref, o_ref)
+    in_specs.append(pl.BlockSpec((kh, kw, cin, cout),
+                                 lambda b, i: (0, 0, 0, 0)))
+    args.append(kernel.astype(dtype))
+
+    out = pl.pallas_call(
+        kern_fn,
+        grid=(n, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, wo, cout), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles * th, wo, cout), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return out[:, :ho] if n_tiles * th != ho else out
+
+
+def _fwd(x, kernel):
+    return _forward(x, kernel), (x, kernel)
+
+
+def _bwd(res, gy):
+    x, kernel = res
+    kh, kw, cin, cout = kernel.shape
+    # dL/dx: full-padded correlation of gy with the spatially-flipped,
+    # io-swapped kernel (standard conv transpose identity)
+    k_flip = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)  # (kh,kw,Cout,Cin)
+    gx = jax.lax.conv_general_dilated(
+        gy, k_flip.astype(gy.dtype), window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    # dL/dk[di,dj,c,o] = sum_{n,y,x} X[n, y+di, x+dj, c] gy[n, y, x, o]:
+    # a VALID conv of x (batch as channels) with gy (batch as input chans)
+    gk = jax.lax.conv_general_dilated(
+        x.transpose(3, 1, 2, 0),            # (Cin, Hp, Wp, N)
+        gy.transpose(1, 2, 0, 3).astype(x.dtype),  # (Ho, Wo, N, Cout)
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    gk = gk.transpose(1, 2, 0, 3).astype(kernel.dtype)  # (kh,kw,Cin,Cout)
+    return gx, gk
+
+
+conv2d_valid.defvjp(_fwd, _bwd)
+
+
+def matmul_1x1(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """1x1 'conv' as a plain GEMM — dots never touch the conv emitter, so
+    they are already safe next to Pallas calls."""
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    y = jnp.dot(x.reshape(n * h * w, cin), kernel.reshape(cin, cout),
+                preferred_element_type=jnp.float32)
+    return y.astype(x.dtype).reshape(n, h, w, cout)
