@@ -101,14 +101,20 @@ def make_blocked_pallas_conv(hp, wp, cin, cout, kh, kw, th, dtype):
 
     def kernel(xm, xh, k_ref, o_ref):
         rows_all = jnp.concatenate([xm[0], xh[0]], axis=0)  # (th+halo, wpp, cin)
-        acc = jnp.zeros((th * wpp, cout), jnp.float32)
-        for di in range(kh):
-            rows = rows_all[di:di + th]
-            for dj in range(kw):
-                sl = pltpu.roll(rows, wpp - dj, 1) if dj else rows
-                acc = acc + jnp.dot(sl.reshape(th * wpp, cin), k_ref[di, dj],
-                                    preferred_element_type=jnp.float32)
-        out = acc.reshape(th, wpp, cout)[:, :wo, :]
+        # Mosaic's dynamic_rotate only supports 32-bit data, so instead of
+        # rolling the bf16 INPUT per tap (64 rolls), accumulate each column
+        # tap's partial product in f32 and roll THAT left by dj (kw-1 f32
+        # rolls total): out[:, j] needs input col j+dj for tap column dj.
+        acc = jnp.zeros((th, wpp, cout), jnp.float32)
+        for dj in range(kw):
+            pd = jnp.zeros((th * wpp, cout), jnp.float32)
+            for di in range(kh):
+                pd = pd + jnp.dot(
+                    rows_all[di:di + th].reshape(th * wpp, cin),
+                    k_ref[di, dj], preferred_element_type=jnp.float32)
+            p3 = pd.reshape(th, wpp, cout)
+            acc = acc + (pltpu.roll(p3, wpp - dj, 1) if dj else p3)
+        out = acc[:, :wo, :]
         o_ref[...] = out.astype(dtype).reshape(1, th, wo, cout)
 
     def run(p, k):
@@ -127,6 +133,10 @@ def make_blocked_pallas_conv(hp, wp, cin, cout, kh, kw, th, dtype):
             ],
             out_specs=pl.BlockSpec((1, th, wo, cout), lambda i: (0, i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((1, n_tiles * th, wo, cout), dtype),
+            # v5e has 128 MiB physical VMEM; the default 16 MiB scoped limit
+            # rejects the f32 accumulators + bf16 kernel at useful tile sizes
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(p, p, k)
 
     def cropped(p, k):
