@@ -148,11 +148,12 @@ CONF_FUXI = {
 
 def _bench_conf(kind: str, bf16: bool, pallas: bool = False):
     """(conf, h, w, frames) for a benchmark kind — shared by the rollout
-    and training benches."""
-    from __graft_entry__ import SMOKE_MODEL_CONF
+    and training benches. kind="tiny" is the CPU-shape smoke config used by
+    tests/test_round4_fixes.py to regression-test the bench plumbing."""
+    from __graft_entry__ import SMOKE_MODEL_CONF, TINY_MODEL_CONF
 
     base = {"1deg": SMOKE_MODEL_CONF["model"], "025": CONF_025,
-            "fuxi": CONF_FUXI}[kind]
+            "fuxi": CONF_FUXI, "tiny": TINY_MODEL_CONF["model"]}[kind]
     model_conf = {"model": dict(base)}
     if bf16:
         model_conf["model"]["compute_dtype"] = "bfloat16"
@@ -161,6 +162,24 @@ def _bench_conf(kind: str, bf16: bool, pallas: bool = False):
         # GEMMs, which lets the fused-FF kernel turn on (docs/PERF.md)
         model_conf["model"]["pallas_conv"] = "auto"
         model_conf["model"]["ff_fusion"] = "auto"
+    if kind == "tiny":
+        conf = {
+            **model_conf,
+            "data": {
+                "source": {
+                    "ERA5": {
+                        "levels": [0.0, 1.0],
+                        "variables": {
+                            "prognostic": {"vars_3D": ["U", "T"],
+                                           "vars_2D": ["SP", "T2M"]},
+                            "dynamic_forcing": {"vars_2D": ["TISR"]},
+                            "diagnostic": {"vars_2D": ["PRECIP"]},
+                        },
+                    }
+                }
+            },
+        }
+        return conf, 32, 64, 1
     levels = {"1deg": 18, "025": 13, "fuxi": 16}[kind]
     h, w = {"1deg": (181, 360), "025": (721, 1440),
             "fuxi": (640, 1280)}[kind]
@@ -403,7 +422,7 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
                        spectral=variables.get("spectral", {}),
                        opt_state=optimizer.init(variables["params"]))
     state = jax.device_put(state)
-    batch = {"x": x, "y": y}
+    batch_data = {"x": x, "y": y}
     raw_step = make_train_step(model, WeightedLoss(base="mse"), optimizer,
                                schema, forecast_len=1, history_len=frames)
 
@@ -428,7 +447,7 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     # hours (round-2 postmortem). Never hand it a program we can already
     # see is too big.
     limit = int(os.environ.get("BENCH_MODULE_LIMIT", "3500000"))
-    asm = rK.lower(state, batch).compiler_ir("stablehlo").operation.get_asm(
+    asm = rK.lower(state, batch_data).compiler_ir("stablehlo").operation.get_asm(
         binary=True, enable_debug_info=True)
     log(f"[{tag}] serialized module: {len(asm) / 1e6:.2f} MB "
         f"(guard {limit / 1e6:.1f} MB)")
@@ -439,8 +458,8 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     flops = None
     t0 = time.time()
     try:
-        cK = rK.lower(state, batch).compile()
-        c2K = r2K.lower(state, batch).compile()
+        cK = rK.lower(state, batch_data).compile()
+        c2K = r2K.lower(state, batch_data).compile()
         rK, r2K = cK, c2K
         ca = cK.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -449,18 +468,18 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     except Exception as e:
         log(f"[{tag}] AOT/cost_analysis unavailable: {e}")
     t0 = time.time()
-    lK = float(rK(state, batch))
+    lK = float(rK(state, batch_data))
     log(f"[{tag}] {steps}-step compile+run+fetch: {time.time() - t0:.1f}s "
         f"(loss={lK:.4f})")
     t0 = time.time()
-    float(r2K(state, batch))
+    float(r2K(state, batch_data))
     log(f"[{tag}] {2 * steps}-step compile+run+fetch: {time.time() - t0:.1f}s")
 
     def timed(fn, reps=2):
         best = np.inf
         for _ in range(reps):
             t0 = time.time()
-            _ = float(fn(state, batch))
+            _ = float(fn(state, batch_data))
             best = min(best, time.time() - t0)
         return best
 
