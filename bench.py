@@ -290,6 +290,25 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1,
     rN = build(n_steps)
     r2N = build(2 * n_steps)
 
+    # LOCAL size guard (same as the training bench): the remote-compile
+    # tunnel rejects bodies over ~4 MB with HTTP 413 and repeated oversize
+    # posts have WEDGED it for hours. Pallas custom calls embed Mosaic
+    # payloads, so the --pallas module can be bigger than the XLA one —
+    # check before handing it over.
+    limit = int(os.environ.get("BENCH_MODULE_LIMIT", "3500000"))
+    try:
+        asm = rN.lower(variables, x0).compiler_ir(
+            "stablehlo").operation.get_asm(binary=True,
+                                           enable_debug_info=True)
+        log(f"[{tag}] serialized module: {len(asm) / 1e6:.2f} MB "
+            f"(guard {limit / 1e6:.1f} MB)")
+        if len(asm) > limit and dev.platform == "tpu":
+            _bench_abort("module_too_large",
+                         f"rollout module {len(asm)} bytes > tunnel guard "
+                         f"{limit} — refusing to wedge the tunnel")
+    except Exception as e:
+        log(f"[{tag}] module size check unavailable: {e}")
+
     # modeled MFU / roofline from the compiled executable, when available
     # (AOT-compile once and EXECUTE the same executable — .lower().compile()
     # does not populate the jit cache, so calling rN() again would recompile)
@@ -392,7 +411,12 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
         # to 8.7 MB of StableHLO and the remote-compile tunnel rejects it
         # (HTTP 413); scanning the depth-8 stage drops it to 3.3 MB
         conf["model"]["scan_blocks"] = True
-    conf["trainer"] = {"learning_rate": 1e-4}
+    # flat optimizer: identical AdamW math on one concatenated vector —
+    # drops ~0.9 MB of per-leaf update chains from the serialized module,
+    # which is what lets the SN-ON flagship step fit the tunnel body limit
+    # (3.99 -> 3.12 MB; tools/module_size.py). Single-chip bench: no ZeRO
+    # sharding to preserve.
+    conf["trainer"] = {"learning_rate": 1e-4, "flatten_optimizer": True}
     if not spectral_norm:
         conf["model"]["use_spectral_norm"] = False
     schema = ChannelSchema.from_config(conf)
@@ -552,14 +576,14 @@ def main():
         if os.environ.get("BENCH_SKIP_TRAIN", "") != "1":
             # the training bench runs in a KILLABLE SUBPROCESS with its own
             # budget: a slow/wedged training compile must never take the
-            # banked headline down with it. --nosn: the SN-on flagship
-            # module reliably exceeds the tunnel body limit (PERF.md).
+            # banked headline down with it. SN-ON now fits the tunnel body
+            # limit (3.12 MB with the flattened optimizer); the subprocess
+            # falls back to SN-off by itself if the module outgrows it.
             # observed full cost: ~23s init + ~120s AOT compile + ~25 min
             # ONE-TIME argument upload (state ~1.5 GB f32 through the
             # tunnel) + seconds of steps => ~35 min worst case
             budget = int(os.environ.get("BENCH_TRAIN_TIMEOUT_S", "2700"))
-            cmd = [sys.executable, os.path.abspath(__file__), "--train",
-                   "--nosn"]
+            cmd = [sys.executable, os.path.abspath(__file__), "--train"]
             if not bf16:
                 cmd.append("--fp32")
             try:

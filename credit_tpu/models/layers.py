@@ -15,6 +15,8 @@ Design notes vs the reference (credit/models/wxformer/crossformer.py):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any, Callable, Sequence, Tuple
 
 import jax
@@ -31,6 +33,30 @@ Dtype = Any
 
 def _l2norm(x, eps=1e-12):
     return x / (jnp.linalg.norm(x) + eps)
+
+
+# External spectral-norm mode: the u/v power-iteration update is hoisted out
+# of the training graph into a separate jitted program
+# (spectral_utils.power_iter_spectral) run once per optimizer step; layer
+# forwards then compute sigma = u . (W v) from the FROZEN stored vectors —
+# sigma stays differentiable w.r.t. W, which is exactly torch
+# nn.utils.spectral_norm semantics (the hook updates u/v under no_grad, sigma
+# carries grad). Motivation: the per-layer update subgraphs put the flagship
+# training module over the remote-compile tunnel's ~3.7 MB body limit
+# (docs/PERF.md); hoisting them removes ~0.6 MB while changing no math.
+_SN_FREEZE = contextvars.ContextVar("sn_freeze", default=False)
+
+
+@contextlib.contextmanager
+def freeze_sn_updates(enable: bool = True):
+    """Trace-time switch: inside this context, SN layers skip the in-graph
+    u/v power-iteration update (train forwards still divide by the
+    differentiable sigma from the stored vectors)."""
+    tok = _SN_FREEZE.set(enable)
+    try:
+        yield
+    finally:
+        _SN_FREEZE.reset(tok)
 
 
 class SNMixin:
@@ -56,7 +82,7 @@ class SNMixin:
         # init (host-side numpy, no XLA cost) so sigma starts as a true
         # spectral estimate. Training forwards then keep them converged via
         # the one-step power iteration below (torch semantics).
-        if update and not self.is_initializing():
+        if update and not _SN_FREEZE.get() and not self.is_initializing():
             w_sg = jax.lax.stop_gradient(w2d)
             v = _l2norm(w_sg.T @ u)
             u = _l2norm(w_sg @ v)

@@ -131,6 +131,52 @@ def fold_spectral(variables: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def power_iter_spectral(params: Dict[str, Any], spectral: Dict[str, Any],
+                        n_iter: int = 1) -> Dict[str, Any]:
+    """One (or n) power-iteration updates of every u/v pair against the
+    current params — the OUT-OF-GRAPH half of external spectral norm.
+
+    Jit this and run it once per optimizer step before the train step built
+    with make_train_step(sn_external=True); the step then computes the
+    differentiable sigma from the frozen vectors (layers.freeze_sn_updates).
+    Together the two programs reproduce torch nn.utils.spectral_norm exactly
+    (hook updates u/v under no_grad; sigma = u . W v carries grad — reference
+    applies it to every conv/linear, credit/models/wxformer/crossformer.py:23)
+    while keeping each XLA module under the remote-compile tunnel's body
+    limit. Handles scan_blocks-stacked layers (u of shape (depth, O)) by
+    vmapping over the leading axis."""
+    import jax.numpy as jnp
+
+    def one_kernel(k, u, v):
+        w2d = k.astype(jnp.float32).reshape(-1, k.shape[-1]).T  # (O, rest)
+
+        def l2(x):
+            return x / (jnp.linalg.norm(x) + 1e-12)
+
+        for _ in range(n_iter):
+            v = l2(w2d.T @ u)
+            u = l2(w2d @ v)
+        return u, v
+
+    def walk(spec, prm):
+        if isinstance(spec, dict) and "u" in spec and "v" in spec \
+                and "kernel" in prm:
+            u = spec["u"].astype(jnp.float32)
+            v = spec["v"].astype(jnp.float32)
+            if u.ndim == 2:  # scan-stacked: (depth, O) / (depth, rest)
+                u, v = jax.vmap(one_kernel)(prm["kernel"], u, v)
+            else:
+                u, v = one_kernel(prm["kernel"], u, v)
+            return {**spec, "u": u, "v": v}
+        if isinstance(spec, dict):
+            return {key: walk(sub, prm.get(key, {}))
+                    if isinstance(sub, dict) else sub
+                    for key, sub in spec.items()}
+        return spec
+
+    return walk(spectral, params)
+
+
 def spectral_sigmas(variables: Dict[str, Any]) -> Dict[str, float]:
     """Diagnostic: map of flattened layer path -> current sigma estimate."""
     out = {}

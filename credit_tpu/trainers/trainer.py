@@ -58,6 +58,14 @@ def make_optimizer(conf: dict, schedule) -> optax.GradientTransformation:
         chain.append(optax.clip_by_global_norm(clip))
     chain.append(optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=wd))
     opt = optax.chain(*chain)
+    if t.get("flatten_optimizer", False):
+        # one flat moment vector instead of ~170 per-leaf update chains:
+        # identical math, far fewer ops in the step module (the per-leaf
+        # AdamW chains are a large share of the serialized StableHLO) and
+        # fewer fusions for XLA to schedule. Off by default because ZeRO
+        # sharding (opt_state_shardings) maps moments like params — a flat
+        # vector has no param-shaped axes to shard.
+        opt = optax.flatten(opt)
     accum = int(t.get("grad_accum_every", 1))
     if accum > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accum)
@@ -74,7 +82,8 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
                     history_len: int = 1, ema_decay: float = 0.0,
                     ensemble_size: int = 1, normalizer=None, preblocks=(),
                     preblocks_ic=(), postblocks=(), metrics_fn=None,
-                    return_final_state: bool = False):
+                    return_final_state: bool = False,
+                    sn_external: bool = False):
     """Build the jitted multi-step train step.
 
     batch: {'x': (B, T_hist, H, W, C_in), 'y': (B, S, H, W, C_t),
@@ -114,6 +123,20 @@ def make_train_step(model, loss_fn: Callable, optimizer, schema: ChannelSchema,
 
     def apply_model(params, spectral, x, rng=None):
         rngs = {"noise": rng} if rng is not None else None
+        if sn_external:
+            # external SN (trainer.sn_external): u/v are updated OUTSIDE this
+            # program by spectral_utils.power_iter_spectral once per step;
+            # the forward divides by the differentiable sigma from the
+            # frozen vectors (exactly torch spectral_norm: the no_grad hook
+            # is hoisted, sigma keeps its gradient). No mutable collection
+            # -> no u/v write-back subgraphs in the module.
+            from credit_tpu.models.layers import freeze_sn_updates
+
+            with freeze_sn_updates():
+                y = model.apply(
+                    {"params": model_params(params), "spectral": spectral},
+                    x, train=True, rngs=rngs)
+            return y, {"spectral": spectral}
         return model.apply({"params": model_params(params), "spectral": spectral},
                            x, train=True, mutable=["spectral"], rngs=rngs)
 
@@ -444,13 +467,25 @@ class Trainer:
                 capacity=int(rp.get("capacity", 128)),
                 replay_probability=float(rp.get("probability", 0.5)),
                 seed=int(conf.get("seed", 0)))
+        # external spectral norm (trainer.sn_external): hoist the u/v power
+        # iteration into its own jitted program run once per step — same math
+        # as torch spectral_norm, but the train-step module loses the
+        # per-layer update subgraphs (needed to fit the flagship SN-on module
+        # under the remote-compile tunnel's body limit; docs/PERF.md)
+        self.sn_external = bool(t.get("sn_external", False))
+        self._sn_update = None
+        if self.sn_external:
+            from credit_tpu.models.spectral_utils import power_iter_spectral
+
+            self._sn_update = jax.jit(power_iter_spectral)
         self._step_kw = dict(
             history_len=self.history_len,
             ema_decay=self.ema_decay if self.use_ema else 0.0,
             ensemble_size=self.ensemble_size, normalizer=normalizer,
             preblocks=tuple(pre_step), preblocks_ic=tuple(pre_ic),
             postblocks=tuple(post), metrics_fn=self.metrics_fn,
-            return_final_state=self.replay is not None)
+            return_final_state=self.replay is not None,
+            sn_external=self.sn_external)
         # donate the state: params/moments/EMA buffers are reused in place
         # by XLA instead of allocating a second copy per step (~2 GB saved
         # at flagship scale); fit() never touches the donated input again
@@ -753,6 +788,12 @@ class Trainer:
                              replay=self.replay is not None):
                 batch, t_next = item if self.replay is not None else (item, None)
                 rng, sub = jax.random.split(rng)
+                if self._sn_update is not None and state.spectral:
+                    # external SN: refresh u/v against the current params
+                    # before the step (the step's sigma uses these frozen
+                    # vectors — together identical to the in-graph update)
+                    state = state.replace(spectral=self._sn_update(
+                        state.params, state.spectral))
                 if epoch == 0 and n_tr == 0 and pfmode:
                     # first step pays XLA compilation: run it under the
                     # startup watchdog (reference: preflight.py:109 first-

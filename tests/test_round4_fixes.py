@@ -48,3 +48,99 @@ def test_train_bench_emits_json_batch_gt1(monkeypatch):
     assert out["batch"] == 2
     assert out["note"].startswith("spectral_norm off")
     assert out["value"] > 0
+
+
+def _two_train_steps(sn_external: bool, flatten: bool, scan_blocks=False):
+    """Two optimizer steps on the tiny crossformer; returns (losses, params).
+
+    sn_external=True runs the torch-semantics split: u/v power iteration in a
+    separate jitted program (spectral_utils.power_iter_spectral) + a step
+    built with make_train_step(sn_external=True) whose sigma is computed
+    in-graph from the frozen vectors.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _bench_conf
+    from credit_tpu.data.channels import ChannelSchema
+    from credit_tpu.losses import WeightedLoss
+    from credit_tpu.models import load_model
+    from credit_tpu.models.spectral_utils import power_iter_spectral
+    from credit_tpu.trainers.trainer import (TrainState, make_optimizer,
+                                             make_train_step)
+
+    conf, h, w, frames = _bench_conf("tiny", bf16=False)
+    conf["trainer"] = {"learning_rate": 1e-3, "flatten_optimizer": flatten}
+    if scan_blocks:
+        conf["model"]["scan_blocks"] = True
+    schema = ChannelSchema.from_config(conf)
+    model = load_model(conf)
+    assert model.base_output_channels == schema.n_target
+
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (1, frames, h, w, schema.n_input), jnp.float32)
+    y = jax.random.normal(ky, (1, 1, h, w, schema.n_target), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    optimizer = make_optimizer(conf, lambda _: 1e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       spectral=variables.get("spectral", {}),
+                       opt_state=optimizer.init(variables["params"]))
+    step = jax.jit(make_train_step(model, WeightedLoss(base="mse"), optimizer,
+                                   schema, forecast_len=1,
+                                   history_len=frames,
+                                   sn_external=sn_external))
+    sn_up = jax.jit(power_iter_spectral)
+    losses = []
+    for i in range(2):
+        if sn_external:
+            state = state.replace(spectral=sn_up(state.params, state.spectral))
+        state, m = step(state, {"x": x, "y": y},
+                        jax.random.fold_in(jax.random.PRNGKey(2), i))
+        losses.append(float(m["loss"]))
+    return losses, state
+
+
+def test_sn_external_matches_in_graph():
+    """External SN (hoisted power iteration + differentiable frozen-vector
+    sigma) reproduces the in-graph update exactly: same losses, same params,
+    same u/v after 2 optimizer steps."""
+    import numpy as np
+    import jax
+
+    l_ref, s_ref = _two_train_steps(sn_external=False, flatten=False)
+    l_ext, s_ext = _two_train_steps(sn_external=True, flatten=False)
+    np.testing.assert_allclose(l_ext, l_ref, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_ext.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.spectral),
+                    jax.tree_util.tree_leaves(s_ext.spectral)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flatten_optimizer_matches_per_leaf():
+    """optax.flatten'd AdamW (trainer.flatten_optimizer — the module-size
+    lever that fits the SN-on flagship step under the tunnel body limit) is
+    the identical update, modulo f32 reassociation."""
+    import numpy as np
+    import jax
+
+    l_ref, s_ref = _two_train_steps(sn_external=False, flatten=False)
+    l_flat, s_flat = _two_train_steps(sn_external=False, flatten=True)
+    np.testing.assert_allclose(l_flat, l_ref, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_flat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_sn_external_scan_blocks():
+    """power_iter_spectral vmaps over scan-stacked u/v (depth-leading axes)
+    and matches the in-graph update under scan_blocks."""
+    import numpy as np
+
+    l_ref, _ = _two_train_steps(sn_external=False, flatten=False,
+                                scan_blocks=True)
+    l_ext, _ = _two_train_steps(sn_external=True, flatten=False,
+                                scan_blocks=True)
+    np.testing.assert_allclose(l_ext, l_ref, rtol=1e-6)

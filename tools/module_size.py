@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 
 def measure(spectral_norm: bool, sn_external: bool = False,
-            batch: int = 1) -> float:
+            batch: int = 1, flatten_opt: bool = False) -> float:
     from bench import _bench_conf
     from credit_tpu.data.channels import ChannelSchema
     from credit_tpu.losses import WeightedLoss
@@ -38,7 +38,8 @@ def measure(spectral_norm: bool, sn_external: bool = False,
     conf, h, w, frames = _bench_conf("025", bf16=True)
     conf["model"]["remat"] = True
     conf["model"]["scan_blocks"] = True
-    conf["trainer"] = {"learning_rate": 1e-4}
+    conf["trainer"] = {"learning_rate": 1e-4,
+                       "flatten_optimizer": flatten_opt}
     if not spectral_norm:
         conf["model"]["use_spectral_norm"] = False
     schema = ChannelSchema.from_config(conf)
@@ -103,6 +104,10 @@ if __name__ == "__main__":
         ("SN-on (in-graph update)", dict(spectral_norm=True)),
         ("SN-on (external update)", dict(spectral_norm=True,
                                          sn_external=True)),
+        ("SN-on (external + flat opt)", dict(spectral_norm=True,
+                                             sn_external=True,
+                                             flatten_opt=True)),
+        ("SN-off (flat opt)", dict(spectral_norm=False, flatten_opt=True)),
     ]:
         try:
             mb = measure(**kw)
