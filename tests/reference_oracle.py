@@ -56,6 +56,19 @@ def install_reference():
         _stub(n)
     _stub("torch_harmonics", pkg=True)
     _stub("torch_harmonics.quadrature")
+    if "optuna" not in sys.modules:
+        # the trainers import optuna and raise/except optuna.TrialPruned —
+        # that attribute must be a real exception class, so the generic
+        # _Any-stub (whose attributes are plain objects) would break
+        # `except optuna.TrialPruned`
+        op = types.ModuleType("optuna")
+        op.__file__ = "<stub optuna>"
+
+        class _TrialPruned(Exception):
+            pass
+
+        op.TrialPruned = _TrialPruned
+        sys.modules["optuna"] = op
     if "numba" not in sys.modules:
         nb = types.ModuleType("numba")
         nb.__file__ = "<stub numba>"
