@@ -109,6 +109,17 @@ class GranuleSourceDataset(ClockedSource):
         self.rename = dict(src_conf.get("rename", {}))
         tol = src_conf.get("scan_tolerance", self.default_tolerance)
         self.tolerance = parse_timestep(tol) if tol else None
+        # granule-gap policy (reference: goes.py:1064-1079 nearest-tolerance
+        # indexer tolerates archive outages per sample):
+        #   error — any unmatched clock timestamp fails construction (strict)
+        #   skip  — init times whose sample window touches a gap are dropped
+        #           (valid_init_indices; the trainer's samplers honor it)
+        #   fill  — missing frames read as NaN (pair with the fill_values
+        #           preblock to impute and derive masks)
+        self.missing = src_conf.get("missing", "error")
+        if self.missing not in ("error", "skip", "fill"):
+            raise ValueError(f"{type(self).__name__}: missing="
+                             f"{self.missing!r} (use error|skip|fill)")
 
         times, paths = self._build_catalog(src_conf)
         if len(times) == 0:
@@ -118,7 +129,8 @@ class GranuleSourceDataset(ClockedSource):
         order = np.argsort(times)
         self._granule_times = np.asarray(times)[order]
         self._granule_paths = [paths[i] for i in order]
-        self._match = self._match_clock()
+        self._match, self._have = self._match_clock()
+        self._first_have = int(np.argmax(self._have))  # >=1 True guaranteed
         self._cache: Dict[str, object] = {}
         self._cache_order: List[str] = []
         self._latlon: Optional[Tuple[np.ndarray, np.ndarray]] = None
@@ -171,9 +183,9 @@ class GranuleSourceDataset(ClockedSource):
     def remote_bucket(self, src_conf) -> str:
         raise NotImplementedError
 
-    def _match_clock(self) -> np.ndarray:
-        """clock index -> granule index, nearest within tolerance
-        (reference goes.py:1064-1079)."""
+    def _match_clock(self):
+        """clock index -> (granule index, available mask), nearest within
+        tolerance (reference goes.py:1064-1079)."""
         want = np.asarray([np.datetime64(t) for t in self.clock.all_times])
         gt = self._granule_times
         pos = np.searchsorted(gt, want)
@@ -188,12 +200,35 @@ class GranuleSourceDataset(ClockedSource):
         bad = dist > tol
         if bad.any():
             miss = [str(w) for w in want[bad][:5]]
-            raise ValueError(
-                f"{type(self).__name__}: {int(bad.sum())} requested "
-                f"timestamps have no granule within tolerance "
+            detail = (
+                f"{type(self).__name__}: {int(bad.sum())}/{len(want)} "
+                f"requested timestamps have no granule within tolerance "
                 f"{self.tolerance or '0s'} (first missing: {miss}; "
                 f"{len(gt)} granules {gt[0]}..{gt[-1]})")
-        return best
+            if self.missing == "error":
+                raise ValueError(
+                    detail + " — real archives have outages; set source "
+                    "missing: skip (drop those init times) or missing: fill "
+                    "(NaN frames) to tolerate gaps")
+            if bad.all():
+                raise ValueError(detail + " — no clock timestamp matches "
+                                 "any granule (wrong path or clock?)")
+            logger.warning("%s (policy: %s)", detail, self.missing)
+        return best, ~bad
+
+    def valid_init_indices(self, n_steps: int = 1) -> np.ndarray:
+        """Init-time indices whose FULL sample window (history_len inputs +
+        n_steps targets/forcing) has granules. Under missing: skip the
+        trainer's samplers draw from exactly this set; error/fill keep every
+        margin-valid index."""
+        n = len(self.clock.all_times)
+        base = np.arange(self.history_len - 1, n - n_steps - 1)
+        if self.missing != "skip":
+            return base
+        have = self._have
+        ok = [int(t) for t in base
+              if have[t - self.history_len + 1: t + n_steps + 1].all()]
+        return np.asarray(ok, int)
 
     # -- granule IO ---------------------------------------------------------
     def _open(self, path: str):
@@ -205,6 +240,12 @@ class GranuleSourceDataset(ClockedSource):
         return self._cache[path]
 
     def granule_for(self, t_idx: int):
+        if not self._have[int(t_idx)]:
+            raise KeyError(
+                f"{type(self).__name__}: no granule within tolerance for "
+                f"clock index {int(t_idx)} ({self.clock.time_at(int(t_idx))})"
+                + (" — with missing: skip, sample only valid_init_indices()"
+                   if self.missing == "skip" else ""))
         return self._open(self._granule_paths[int(self._match[t_idx])])
 
     # -- grid ---------------------------------------------------------------
@@ -238,7 +279,14 @@ class GranuleSourceDataset(ClockedSource):
         name = self.rename.get(base_name, base_name)
         if is_static and base_name in self._static_cache:
             return self._static_cache[base_name]
-        ds = self.granule_for(0 if is_static else t_idx)
+        if is_static:
+            t_idx = self._first_have  # statics from any available granule
+        elif not self._have[int(t_idx)] and self.missing == "fill":
+            # gap frame: NaN of the variable's shape (probed once from an
+            # available granule; the fill_values preblock can impute/mask)
+            ref = self._read_var(base_name, self._first_have, False)
+            return np.full_like(ref, np.nan)
+        ds = self.granule_for(t_idx)
         if name not in ds:
             raise KeyError(
                 f"variable {name!r} not in granule "
@@ -359,6 +407,24 @@ def select_idx_entries(entries: List[dict], idx_name: str,
             raise KeyError(f"{idx_name} has no level {key!r} in idx "
                            f"(available: {sorted(by_level)[:8]}...)")
         out.append(by_level[key])
+    return out
+
+
+def read_idx_ranges(path: str, entries: List[dict]) -> List[bytes]:
+    """Read the byte ranges named by .idx entries from a LOCAL GRIB2 file —
+    the same seek/length math the remote path issues as HTTP Range requests
+    (reference: gen_2/hrrr.py:374 _fetch_message builds
+    'bytes={start}-{end}'; the last message reads to EOF). Offline-testable:
+    slicing a local file per parse_grib_idx output must reproduce each
+    message's exact bytes."""
+    out = []
+    with open(path, "rb") as f:
+        for e in entries:
+            f.seek(e["byte_start"])
+            if e["byte_end"] is None:
+                out.append(f.read())
+            else:
+                out.append(f.read(e["byte_end"] - e["byte_start"] + 1))
     return out
 
 

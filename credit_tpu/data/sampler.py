@@ -21,9 +21,15 @@ class MultiStepSampler:
     def __init__(self, n_times: int, batch_size: int, forecast_len: int = 1,
                  history_len: int = 1, dp_rank: int = 0, dp_size: int = 1,
                  seed: int = 0, shuffle: bool = True,
-                 batches_per_epoch: int = 0):
-        # valid init times leave room for history before and forecast after
-        self.valid = np.arange(history_len - 1, n_times - forecast_len - 1)
+                 batches_per_epoch: int = 0, valid_indices=None):
+        # valid init times leave room for history before and forecast after;
+        # a dataset with gaps (obs sources under missing: skip) passes its
+        # own valid_init_indices instead (reference: gen2 datasets drop
+        # unmatched init times from the clock, goes.py:1064-1079)
+        if valid_indices is not None:
+            self.valid = np.asarray(valid_indices, dtype=int)
+        else:
+            self.valid = np.arange(history_len - 1, n_times - forecast_len - 1)
         self.batch_size = batch_size
         self.forecast_len = forecast_len
         self.dp_rank = dp_rank

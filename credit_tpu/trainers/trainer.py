@@ -588,7 +588,16 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:
-        sample = self.dataset.batch([self.dataset.history_len], 1)
+        # shape-probe batch from a VALID init time — datasets with granule
+        # gaps (missing: skip) may not have one at history_len
+        if hasattr(self.dataset, "valid_init_indices"):
+            vi = self.dataset.valid_init_indices(1)
+            if len(vi) == 0:
+                raise ValueError("dataset has no gap-free init windows")
+            t0 = int(vi[0])
+        else:
+            t0 = self.dataset.history_len
+        sample = self.dataset.batch([t0], 1)
         x = jnp.asarray(sample["x"][:1])
         r1, r2 = jax.random.split(rng)
         variables = self.model.init({"params": r1, "noise": r2}, x)
@@ -664,6 +673,12 @@ class Trainer:
         # credit/samplers.py:64 DistributedMultiStepBatchSampler +
         # parallel/mesh.py:115 data_parallel_coords contract).
         nproc = jax.process_count()
+        # datasets with granule gaps (obs sources, missing: skip) restrict
+        # sampling to init times whose full window has data
+        vidx = (self.dataset.valid_init_indices(self.forecast_len)
+                if hasattr(self.dataset, "valid_init_indices") else None)
+        vvidx = (self.valid_dataset.valid_init_indices(self.forecast_len)
+                 if hasattr(self.valid_dataset, "valid_init_indices") else None)
         if self.mesh is not None and self.dp > 1:
             from credit_tpu.parallel.mesh import local_dp_rows
 
@@ -678,7 +693,8 @@ class Trainer:
             samplers = [MultiStepSampler(
                 len(self.dataset), per_row, self.forecast_len,
                 self.history_len, dp_rank=r, dp_size=self.dp, seed=seed,
-                batches_per_epoch=self.batches_per_epoch) for r in rows]
+                batches_per_epoch=self.batches_per_epoch,
+                valid_indices=vidx) for r in rows]
             if self.valid_batch_size % self.dp != 0:
                 raise ValueError(
                     f"valid_batch_size={self.valid_batch_size} not divisible "
@@ -687,16 +703,18 @@ class Trainer:
             vsamplers = [MultiStepSampler(
                 len(self.valid_dataset), vper, self.forecast_len,
                 self.history_len, dp_rank=r, dp_size=self.dp, seed=seed + 1,
-                shuffle=False, batches_per_epoch=self.valid_batches)
-                for r in rows]
+                shuffle=False, batches_per_epoch=self.valid_batches,
+                valid_indices=vvidx) for r in rows]
         else:
             samplers = [MultiStepSampler(
                 len(self.dataset), self.batch_size, self.forecast_len,
-                self.history_len, seed=seed, batches_per_epoch=self.batches_per_epoch)]
+                self.history_len, seed=seed,
+                batches_per_epoch=self.batches_per_epoch,
+                valid_indices=vidx)]
             vsamplers = [MultiStepSampler(
                 len(self.valid_dataset), self.valid_batch_size, self.forecast_len,
                 self.history_len, seed=seed + 1, shuffle=False,
-                batches_per_epoch=self.valid_batches)]
+                batches_per_epoch=self.valid_batches, valid_indices=vvidx)]
 
         from credit_tpu.parallel.distributed import is_primary
 

@@ -413,3 +413,95 @@ def test_multi_source_routes_obs_types(tmp_path):
     assert registry.get("dataset", "goes") is GOESDataset
     assert registry.get("dataset", "hrrr") is HRRRDataset
     assert registry.get("dataset", "mrms") is MRMSDataset
+
+
+# ---------------------------------------------------------------------------
+# granule-gap policies (missing: error|skip|fill) — reference tolerates
+# archive outages per sample (goes.py:1064-1079 nearest-tolerance indexer)
+
+
+def _gap_conf(tmp_path):
+    """6-step clock with granule idx 1 missing (30 min off the clock)."""
+    conf = json.loads(json.dumps(GOES_CONF))
+    conf["data"]["end_datetime"] = "2021-06-02 06:00"
+    src = conf["data"]["source"]["G16"]
+    src["mode"] = "local"
+    src["path"] = _goes_dir(tmp_path, offsets_min=(1, 30, 2, 1, 0, -1))
+    return conf, src
+
+
+def test_goes_missing_skip_drops_init_times(tmp_path):
+    from credit_tpu.data.obs import GOESDataset
+
+    conf, src = _gap_conf(tmp_path)
+    src["missing"] = "skip"
+    schema = ChannelSchema.from_config(conf)
+    ds = GOESDataset(schema, src, conf["data"], source_name="G16",
+                     history_len=1, forecast_len=1)
+    # clock idx 1 unmatched -> init windows {0,1} and {1,2} dropped
+    assert list(ds.valid_init_indices(1)) == [2, 3]
+    # a valid window reads fine; the gap index refuses loudly
+    s = ds.sample(2, 1)
+    assert np.isfinite(s["x"]).all() and np.isfinite(s["y"]).all()
+    with pytest.raises(KeyError, match="no granule within tolerance"):
+        ds.input_at(1)
+
+
+def test_goes_missing_fill_yields_nan_frames(tmp_path):
+    from credit_tpu.data.obs import GOESDataset
+
+    conf, src = _gap_conf(tmp_path)
+    src["missing"] = "fill"
+    schema = ChannelSchema.from_config(conf)
+    ds = GOESDataset(schema, src, conf["data"], source_name="G16",
+                     history_len=1, forecast_len=1)
+    # every margin-valid init stays addressable under fill
+    assert list(ds.valid_init_indices(1)) == [0, 1, 2, 3]
+    x1 = ds.input_at(1)
+    assert np.isnan(x1).all()          # the gap frame
+    assert x1.shape == (1, NY, NX, 2)  # probed shape matches real frames
+    assert np.isfinite(ds.input_at(0)).all()
+    # a sample whose target lands on the gap: y is NaN, x finite
+    s = ds.sample(0, 1)
+    assert np.isfinite(s["x"]).all() and np.isnan(s["y"]).all()
+
+
+def test_goes_missing_error_is_default_and_actionable(tmp_path):
+    from credit_tpu.data.obs import GOESDataset
+
+    conf, src = _gap_conf(tmp_path)
+    schema = ChannelSchema.from_config(conf)
+    with pytest.raises(ValueError, match="missing: skip"):
+        GOESDataset(schema, src, conf["data"], source_name="G16")
+    src["missing"] = "bogus"
+    with pytest.raises(ValueError, match="error|skip|fill"):
+        GOESDataset(schema, src, conf["data"], source_name="G16")
+
+
+def test_sampler_honors_valid_indices():
+    from credit_tpu.data.sampler import MultiStepSampler
+
+    s = MultiStepSampler(100, 2, forecast_len=1, history_len=1, seed=0,
+                         valid_indices=[5, 9, 23, 42, 77, 88])
+    drawn = {int(i) for b in s for i in b}
+    assert drawn <= {5, 9, 23, 42, 77, 88} and len(drawn) >= 4
+
+
+def test_idx_byte_range_assembly_offline(tmp_path):
+    """Slice a local file per parse_grib_idx output (the remote path's HTTP
+    Range math) and reassemble the exact message bytes — no network
+    (reference: hrrr.py:310 _parse_idx, :374 _fetch_message)."""
+    from credit_tpu.data.obs import (parse_grib_idx, read_idx_ranges,
+                                     select_idx_entries)
+
+    rng = np.random.default_rng(0)
+    msgs = [rng.bytes(n) for n in (120, 140, 140, 130, 77)]
+    blob = b"".join(msgs)
+    path = tmp_path / "synthetic.grib2"
+    path.write_bytes(blob)
+    entries = parse_grib_idx(IDX_TEXT)
+    got = read_idx_ranges(str(path), entries)
+    assert got == msgs  # every range, including the open-ended tail
+    # range math composes with variable selection
+    sel = select_idx_entries(entries, "TMP", pressure_levels=[500])
+    assert read_idx_ranges(str(path), sel) == [msgs[1]]
