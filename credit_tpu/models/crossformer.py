@@ -120,9 +120,11 @@ class CrossFormer(BaseModel):
         from credit_tpu.ops import conv as conv_ops
         from credit_tpu.ops import pallas_ff
 
+        # conv kernels are NOT GSPMD-partitioned (unlike the fused FF), so
+        # 'auto' stays single-chip
         pallas_on = ((self.pallas_conv == "force"
                       or (self.pallas_conv == "auto"
-                          and pallas_ff.fuse_ok_auto() and not train))
+                          and pallas_ff.single_chip_tpu() and not train))
                      and not self.is_initializing())
         with conv_ops.pallas_convs(pallas_on):
             return self._forward(x, train)

@@ -145,11 +145,24 @@ def on_tpu() -> bool:
 
 
 def fuse_ok_auto() -> bool:
-    """Auto-gating for the fused kernel: TPU backend AND a single visible
-    device. Under a multi-device GSPMD mesh a pallas_call is an opaque
-    custom call XLA cannot partition — it would force gathers of the
-    sharded activations; multi-chip runs keep the XLA path (which GSPMD
-    shards fine) until the kernel is shard_map-wrapped."""
+    """Auto-gating for the fused kernel: any TPU backend. The kernel is
+    GSPMD-composable — fused_ff_gspmd wraps the pallas_call in
+    jax.experimental.custom_partitioning, so a batch/lat-sharded activation
+    runs the kernel per shard (the FF is pointwise over pixels; only the
+    channel dim must stay whole, and the partition rule pins it). NOTE:
+    multi-chip 'auto' still pays the XLA-conv slow-emitter tax unless the
+    convs are also conv-emitter-free (docs/PERF.md); defaults stay 'never'
+    pending the measured flagship numbers."""
+    try:
+        return on_tpu()
+    except Exception:
+        return False
+
+
+def single_chip_tpu() -> bool:
+    """Gate for kernels NOT yet GSPMD-composable (the blocked Pallas conv):
+    under a multi-device mesh an unpartitioned pallas_call forces gathers
+    of the sharded activations."""
     try:
         return on_tpu() and len(jax.devices()) == 1
     except Exception:
@@ -179,16 +192,28 @@ def _xla_ff(x2d, g, b, w1, b1, w2, b2, post_norm=False):
     return x2d + o.astype(x2d.dtype)
 
 
+def _ff_auto(x, g, b, w1, b1, w2, b2, post_norm):
+    """Pick the GSPMD-partitioned form under a multi-device backend (4-D
+    activations only — the model path), the plain kernel otherwise."""
+    try:
+        multi = len(jax.devices()) > 1
+    except Exception:
+        multi = False
+    if multi and x.ndim == 4:
+        return fused_ff_gspmd(x, g, b, w1, b1, w2, b2, post_norm)
+    return fused_ff(x, g, b, w1, b1, w2, b2, post_norm=post_norm)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def fused_ff_diff(x2d, g, b, w1, b1, w2, b2, post_norm=False):
     """Differentiable fused FF: Pallas kernel forward, XLA-recompute VJP
     (the backward re-runs the cheap composition and differentiates it, like
     rematerialization — gradients match the unfused path)."""
-    return fused_ff(x2d, g, b, w1, b1, w2, b2, post_norm=post_norm)
+    return _ff_auto(x2d, g, b, w1, b1, w2, b2, post_norm)
 
 
 def _ff_fwd(x2d, g, b, w1, b1, w2, b2, post_norm):
-    return (fused_ff(x2d, g, b, w1, b1, w2, b2, post_norm=post_norm),
+    return (_ff_auto(x2d, g, b, w1, b1, w2, b2, post_norm),
             (x2d, g, b, w1, b1, w2, b2))
 
 
@@ -270,3 +295,54 @@ def fused_ff(x, g, b, w1, b1, w2, b2, interpret=None,
         interpret=interpret,
     )(x, row(g), row(b), w1.astype(x.dtype), row(b1),
       w2.astype(x.dtype), row(b2))
+
+
+# ---------------------------------------------------------------------------
+# GSPMD composition: a pallas_call is an opaque custom call the partitioner
+# cannot split, so a sharded activation would be all-gathered around it.
+# custom_partitioning teaches the partitioner that the FF is pointwise over
+# (batch, lat, lon) — each device runs the kernel on its local block; only
+# the channel dim must stay whole (LN + both GEMMs contract over it), and
+# the weights replicate. This is what lets the perf path compose with the
+# dp/domain mesh (north star: fused kernels over the sharded mesh).
+
+def _ffg_impl(x, g, b, w1, b1, w2, b2, post_norm):
+    return fused_ff(x, g, b, w1, b1, w2, b2, post_norm=post_norm)
+
+
+def _x_sharding(mesh, info, ndim):
+    """x's NamedSharding with the channel (last) dim forced whole."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = getattr(info, "sharding", None)
+    spec = list(getattr(sh, "spec", []) or [])
+    spec += [None] * (ndim - len(spec))
+    spec[-1] = None
+    return NamedSharding(mesh, P(*spec))
+
+
+def _ffg_infer(post_norm, mesh, arg_shapes, result_shape):
+    return _x_sharding(mesh, arg_shapes[0], len(arg_shapes[0].shape))
+
+
+def _ffg_partition(post_norm, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x_sh = _x_sharding(mesh, arg_shapes[0], len(arg_shapes[0].shape))
+    rep = NamedSharding(mesh, P())
+
+    def lower_fn(x, g, b, w1, b1, w2, b2):
+        return fused_ff(x, g, b, w1, b1, w2, b2, post_norm=post_norm)
+
+    return mesh, lower_fn, x_sh, (x_sh,) + (rep,) * 6
+
+
+from jax.experimental.custom_partitioning import custom_partitioning
+
+fused_ff_gspmd = custom_partitioning(_ffg_impl, static_argnums=(7,))
+fused_ff_gspmd.def_partition(
+    partition=_ffg_partition,
+    infer_sharding_from_operands=_ffg_infer,
+    # shardy rule: batch/lat/lon pass through per-shard; channel and hidden
+    # are contraction dims shared with the (replicated) weights
+    sharding_rule="b h w c, c, c, c j, j, j c, c -> b h w c")

@@ -142,3 +142,44 @@ def test_feedforward_module_unfused_cpu_includes_residual():
     v0 = {"params": flax.traverse_util.unflatten_dict(flat)}
     np.testing.assert_allclose(np.asarray(ff.apply(v0, x)), np.asarray(x),
                                atol=1e-6)
+
+
+def test_fused_ff_gspmd_sharded_parity():
+    """The custom_partitioning-wrapped FF runs per shard under a dp x domain
+    mesh (batch + latitude sharded) and matches the XLA composition — the
+    gate that let fuse_ok_auto stop requiring a single device."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from credit_tpu.ops import pallas_ff
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    mesh = Mesh(np.asarray(devs[:4]).reshape(2, 2), ("dp", "domain"))
+
+    b_, h, w, c = 2, 8, 16, 128
+    hid = 256
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b_, h, w, c)) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, hid)) * 0.05, jnp.float32)
+    b1 = jnp.zeros((hid,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hid, c)) * 0.05, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+
+    ref = np.asarray(pallas_ff._xla_ff(x.reshape(-1, c), g, bb, w1, b1, w2, b2)
+                     ).reshape(b_, h, w, c)
+
+    xs = NamedSharding(mesh, P("dp", "domain"))
+    rep = NamedSharding(mesh, P())
+    with mesh:
+        args = [jax.device_put(x, xs)] + [jax.device_put(v, rep)
+                                          for v in (g, bb, w1, b1, w2, b2)]
+        out = jax.jit(lambda *a: pallas_ff.fused_ff_gspmd(*a, False))(*args)
+        # the result stays sharded like x (no gather around the kernel)
+        assert out.sharding.spec == xs.spec, out.sharding
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
