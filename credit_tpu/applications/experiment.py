@@ -188,6 +188,59 @@ def run_rollout(conf: dict, n_steps: Optional[int] = None,
     return written
 
 
+def diff_rollout(paths, ref, rtol: float = 2e-4, atol: float = 2e-4):
+    """Compare produced rollout netCDFs against reference files — the
+    HF-checkpoint parity acceptance (north star: 0.25-deg rollout allclose
+    vs the published PyTorch checkpoints; see docs/HF_PARITY.md for the
+    one-command runbook and expected tolerances).
+
+    `ref` is a directory mirroring the output tree (matched by relative
+    path, falling back to basename) or a single file when one path was
+    written. Returns a report list; entry['ok'] per file, per-variable
+    max-abs/rel errors. atol is applied RELATIVE to each variable's
+    reference max-abs (the torch-parity tolerance convention,
+    tests/test_torch_parity.py)."""
+    import numpy as np
+
+    from credit_tpu.utils.ncio import open_dataset
+
+    paths = list(paths)
+    report = []
+    for p in paths:
+        if os.path.isdir(ref):
+            cand = [os.path.join(ref, os.path.join(
+                os.path.basename(os.path.dirname(p)), os.path.basename(p))),
+                os.path.join(ref, os.path.basename(p))]
+            rp = next((c for c in cand if os.path.exists(c)), None)
+        else:
+            rp = ref if len(paths) == 1 or os.path.exists(ref) else None
+        if rp is None or not os.path.exists(rp):
+            report.append({"path": p, "ref": None, "ok": False,
+                           "error": "no matching reference file"})
+            continue
+        ours, theirs = open_dataset(p), open_dataset(rp)
+        entry = {"path": p, "ref": rp, "vars": {}, "ok": True}
+        for name in theirs.keys():
+            if name not in ours:
+                entry["vars"][name] = {"missing": True}
+                entry["ok"] = False
+                continue
+            a = np.asarray(ours[name].values, np.float64)
+            b = np.asarray(theirs[name].values, np.float64)
+            if a.shape != b.shape:
+                entry["vars"][name] = {"shape": (a.shape, b.shape)}
+                entry["ok"] = False
+                continue
+            scale = np.abs(b).max() or 1.0
+            err = np.abs(a - b).max()
+            ok = bool(err <= atol * scale + rtol * scale)
+            entry["vars"][name] = {"max_abs": float(err),
+                                   "rel": float(err / scale), "ok": ok}
+            entry["ok"] = entry["ok"] and ok
+        report.append(entry)
+    return report
+
+
 def _resolve_init_indices(pconf: dict, dataset):
     """-> [(clock_index, label)]: predict.forecasts datetimes when the
     dataset has a datetime clock (reference: forecast.py:39

@@ -134,6 +134,30 @@ def cmd_rollout(args):
                         use_ema=args.ema)
     for p in paths:
         print(p)
+    if getattr(args, "diff_against", None):
+        # HF-checkpoint parity acceptance (docs/HF_PARITY.md): compare the
+        # produced netCDFs against reference rollout files and fail loudly
+        from credit_tpu.applications.experiment import diff_rollout
+
+        report = diff_rollout(paths, args.diff_against,
+                              rtol=args.diff_rtol, atol=args.diff_atol)
+        worst = 0.0
+        ok = True
+        for e in report:
+            ok = ok and e["ok"]
+            tag = "OK  " if e["ok"] else "FAIL"
+            print(f"[diff {tag}] {e['path']} vs {e.get('ref')}")
+            for name, v in sorted(e.get("vars", {}).items()):
+                if "rel" in v:
+                    worst = max(worst, v["rel"])
+                    print(f"    {name:24s} max_abs={v['max_abs']:.3e} "
+                          f"rel={v['rel']:.3e} {'' if v['ok'] else '  <-- OVER'}")
+                else:
+                    print(f"    {name:24s} {v}")
+        print(f"[diff] worst relative error {worst:.3e} "
+              f"(rtol={args.diff_rtol}, atol={args.diff_atol}*scale) -> "
+              f"{'PASS' if ok else 'FAIL'}")
+        return 0 if ok else 1
     return 0
 
 
@@ -622,6 +646,11 @@ def build_parser():
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--out", default=None)
     sp.add_argument("--ema", action="store_true")
+    sp.add_argument("--diff-against", default=None,
+                    help="reference netCDF file/dir: per-variable allclose "
+                         "report, exit 1 on mismatch (HF parity runbook)")
+    sp.add_argument("--diff-rtol", type=float, default=2e-4)
+    sp.add_argument("--diff-atol", type=float, default=2e-4)
     sp.set_defaults(fn=cmd_rollout)
 
     sp = sub.add_parser("realtime",
