@@ -364,9 +364,15 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1,
     if flops:
         peak = PEAK_FLOPS["bfloat16" if bf16 else "float32"]
         mfu = (flops / steps_counted) / per_step / peak
+        uses_pallas = (conf["model"].get("type") == "crossformer"
+                       and conf["model"].get("pallas_conv", "auto") != "never"
+                       and dev.platform == "tpu")
+        note = (" — UNDERSTATED: cost analysis cannot see inside pallas "
+                "custom calls, which now hold the embeds+FF FLOPs"
+                if uses_pallas else "")
         log(f"[{tag}] modeled MFU: {100 * mfu:.1f}% "
             f"({flops / steps_counted / 1e12:.2f} TFLOP/step @ "
-            f"{peak / 1e12:.0f} TFLOP/s peak)")
+            f"{peak / 1e12:.0f} TFLOP/s peak){note}")
     if bytes_acc:
         roof = (bytes_acc / steps_counted) / per_step / HBM_BYTES_PER_S
         log(f"[{tag}] HBM roofline: {100 * roof:.1f}% "

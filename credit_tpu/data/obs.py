@@ -28,7 +28,7 @@ in this zero-egress environment it raises an actionable error instead.
 HRRR remote additionally needs GRIB decode: the .idx parsing + byte-range
 selection are implemented (and tested) as pure functions; message decode is
 gated on cfgrib with ``credit-tpu realtime``'s npz fallback documented in
-docs/MIGRATING.md.
+docs/MIGRATION.md.
 """
 
 from __future__ import annotations
@@ -177,7 +177,7 @@ class GranuleSourceDataset(ClockedSource):
         raise RuntimeError(
             f"{type(self).__name__} mode='remote' streams from "
             f"{self.remote_bucket(src_conf)} via fsspec; this environment "
-            f"has no egress. Download granules (see docs/MIGRATING.md) and "
+            f"has no egress. Download granules (see docs/MIGRATION.md) and "
             f"point mode='local' path= at them, or pass file_catalog_path.")
 
     def remote_bucket(self, src_conf) -> str:

@@ -77,25 +77,24 @@ class CrossFormer(BaseModel):
     remat: bool = False
     scan_blocks: bool = False  # scan-over-layers: one block graph per stage
     use_pallas_attention: bool = False
-    # fused Pallas FF blocks (ops/pallas_ff.py): 'auto' (on for single-chip
-    # TPU inference), 'never' (the XLA composition), 'force' (tests).
-    # Default NEVER by measurement: the kernel is 2x faster than the XLA FF
-    # in isolation, but on the flagship ANY pallas call reachable from a
-    # cross-embed conv's output (through the residual chain) flips that
-    # conv onto a ~4x slower emitter (29 -> 115 ms/step at stage-0; the
-    # fast emitter writes a blocked VMEM form XLA abandons when a custom
-    # call consumes the value downstream — see tools/bench_conv_ffk.py for
-    # the reproduction; transposes/optimization_barrier/scoped-vmem flags
-    # do not insulate it). Net effect at 0.25 deg: 142 -> 220 ms/step.
-    ff_fusion: str = "never"
-    # Pallas/GEMM forms for ALL convs (ops/pallas_conv.py): embeds'
-    # space-to-depth stride-1 convs run as blocked Pallas kernels (measured
-    # at parity with XLA's fast emitter on the flagship stage-0 shape) and
-    # 1x1 convs become plain dots, so no XLA conv emitter remains in the
-    # graph. This is the prerequisite for ff_fusion: with XLA convs present,
-    # any downstream pallas call flips them onto a ~4x slower emitter.
-    # 'never' | 'auto' (single-chip TPU) | 'force' (CPU tests, interpreted).
-    pallas_conv: str = "never"
+    # fused Pallas FF blocks (ops/pallas_ff.py): 'auto' (DEFAULT — on for
+    # TPU inference inside a conv-emitter-free graph, see fuse_ok_auto),
+    # 'never' (the XLA composition), 'force' (tests). History: the kernel
+    # is 2x faster than the XLA FF in isolation, but ANY pallas call
+    # reachable from an XLA conv's output flips that conv onto a ~4x
+    # slower emitter (29 -> 115 ms/step at stage-0; reproduction in
+    # tools/bench_conv_ffk.py) — which is why 'auto' only engages when
+    # pallas_conv has removed every conv emitter. Measured at 0.25 deg
+    # (round 4, one v5e): XLA 135.8 -> pallas_conv+ff 126.7 ms/step.
+    ff_fusion: str = "auto"
+    # conv-emitter-free forms for ALL convs: big embeds as blocked Pallas
+    # kernels (ops/pallas_conv.py, parity with XLA's fast emitter at the
+    # stage-0 shape), small kernels as im2col shift-GEMMs (several small
+    # shapes crash Mosaic at runtime — pallas_conv.im2col_conv), 1x1 as
+    # plain dots. The prerequisite for ff_fusion (see above).
+    # 'auto' (DEFAULT: single-chip TPU inference — the conv kernel is not
+    # GSPMD-partitioned yet) | 'never' | 'force' (CPU tests, interpreted).
+    pallas_conv: str = "auto"
     # camulator delta: zero-init 3x3 'sharp' residual conv on the decoder
     # output, EXCLUDED from spectral norm (reference camulator.py:22-26
     # apply_spectral_norm skips names containing 'sharp'; :78-94 zero-init)

@@ -38,15 +38,27 @@ def pallas_convs(enable: bool = True):
         _PALLAS_CONVS.reset(tok)
 
 
+def pallas_convs_active() -> bool:
+    """True inside a pallas_convs() region — i.e. the surrounding graph is
+    conv-emitter-free, so downstream Pallas kernels (fused FF) cannot flip
+    any XLA conv onto the slow emitter."""
+    return bool(_PALLAS_CONVS.get())
+
+
 def _pallas_valid_conv(x, kernel, bias, accum_dtype):
     """Stride-1 VALID conv with the conv emitter taken out of the graph:
-    1x1 -> GEMM; otherwise the blocked Pallas kernel when it supports the
-    shape; None when it doesn't (caller falls back to lax)."""
+    1x1 -> GEMM; small kernels -> im2col shift-GEMM (several small-kernel
+    flagship shapes crash the Mosaic-compiled kernel at runtime with an
+    opaque INTERNAL error — see pallas_conv.im2col_conv); large kernels ->
+    the blocked Pallas kernel when it supports the shape; None when nothing
+    applies (caller falls back to lax)."""
     from credit_tpu.ops import pallas_conv as pc
 
     kh, kw = kernel.shape[0], kernel.shape[1]
     if kh == 1 and kw == 1:
         out = pc.matmul_1x1(x, kernel.astype(x.dtype))
+    elif kh < 4 or kw < 4:
+        out = pc.im2col_conv(x, kernel)
     elif pc.supports(x.shape, kernel.shape, x.dtype):
         out = pc.conv2d_valid(x, kernel.astype(x.dtype))
     else:

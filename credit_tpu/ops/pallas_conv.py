@@ -213,6 +213,33 @@ def _bwd(res, gy):
 conv2d_valid.defvjp(_fwd, _bwd)
 
 
+def im2col_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Small-kernel stride-1 VALID conv as shifted-slice concat + ONE GEMM —
+    plain XLA ops (slice/concatenate/dot), so the graph stays conv-emitter-
+    free without touching Mosaic.
+
+    Why it exists: the blocked Pallas kernel dies with an opaque
+    `INTERNAL: TPU backend error` at runtime on several small-kernel
+    flagship shapes (2x2 at 201x361x512 and 101x181x1024, 3x3 at
+    202x362x256) while passing on others of the same family — no geometry
+    discriminator was found across 16 probed variants
+    (tools/probe_conv_bisect.py), so small kernels route here instead.
+    Cost: the patch tensor reads/writes kh*kw activation volumes (vs ~1 for
+    the Pallas kernel), acceptable for the stage-1+ embeds and decoder
+    convs, which are small next to stage 0. Natively differentiable.
+    """
+    n, hp, wp, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    ho, wo = hp - kh + 1, wp - kw + 1
+    cols = [x[:, di:di + ho, dj:dj + wo, :]
+            for di in range(kh) for dj in range(kw)]
+    patches = jnp.concatenate(cols, axis=-1)  # (n, ho, wo, kh*kw*cin)
+    y = jnp.dot(patches.reshape(n * ho * wo, kh * kw * cin),
+                kernel.reshape(kh * kw * cin, cout).astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    return y.astype(x.dtype).reshape(n, ho, wo, cout)
+
+
 def matmul_1x1(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """1x1 'conv' as a plain GEMM — dots never touch the conv emitter, so
     they are already safe next to Pallas calls."""

@@ -145,16 +145,19 @@ def on_tpu() -> bool:
 
 
 def fuse_ok_auto() -> bool:
-    """Auto-gating for the fused kernel: any TPU backend. The kernel is
-    GSPMD-composable — fused_ff_gspmd wraps the pallas_call in
-    jax.experimental.custom_partitioning, so a batch/lat-sharded activation
-    runs the kernel per shard (the FF is pointwise over pixels; only the
-    channel dim must stay whole, and the partition rule pins it). NOTE:
-    multi-chip 'auto' still pays the XLA-conv slow-emitter tax unless the
-    convs are also conv-emitter-free (docs/PERF.md); defaults stay 'never'
-    pending the measured flagship numbers."""
+    """Auto-gating for the fused kernel: a TPU backend INSIDE a
+    conv-emitter-free region (ops/conv.pallas_convs context). Measured on
+    the flagship (round 4): with the convs also conv-emitter-free the fused
+    FF takes the 0.25-deg rollout 135.8 -> 126.7 ms/step; with XLA convs
+    present, any pallas call flips them onto a ~4x slower emitter (142 ->
+    220 ms, docs/PERF.md) — so 'auto' keys off the conv context rather than
+    device count. Multi-device is fine: fused_ff_gspmd carries a
+    custom_partitioning rule, so sharded activations run the kernel per
+    shard."""
     try:
-        return on_tpu()
+        from credit_tpu.ops import conv as conv_ops
+
+        return on_tpu() and conv_ops.pallas_convs_active()
     except Exception:
         return False
 
