@@ -395,7 +395,8 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1,
 
 
 def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
-                    spectral_norm: bool = True, batch: int = 1):
+                    spectral_norm: bool = True, batch: int = 1,
+                    remat: bool = True):
     """Training-step benchmark: fwd + bwd + AdamW on the flagship config,
     timed as the difference of K- and 2K-step on-device scans (the same
     tunnel-safe methodology as the rollout bench). Remat on the transformer
@@ -411,7 +412,10 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
                                              make_train_step)
 
     conf, h, w, frames = _bench_conf(kind, bf16)
-    conf["model"]["remat"] = True
+    # remat on the transformer blocks is the memory default; --noremat
+    # measures the recompute tax when the activations fit (batch 1 does on
+    # a 16 GB v5e)
+    conf["model"]["remat"] = remat
     if kind != "fuxi":
         # scan-over-layers: the unrolled flagship TRAINING graph serializes
         # to 8.7 MB of StableHLO and the remote-compile tunnel rejects it
@@ -535,6 +539,8 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
         out["batch"] = batch
     if not spectral_norm:
         out["note"] = "spectral_norm off (module over tunnel body limit)"
+    if not remat:
+        out["note"] = (out.get("note", "") + " remat off").strip()
     print(json.dumps(out), flush=True)
 
 
@@ -560,12 +566,15 @@ def main():
     jax.config.update("jax_include_full_tracebacks_in_locations", False)
     if only_train:
         sn = "--nosn" not in sys.argv
+        remat = "--noremat" not in sys.argv
         try:
-            run_train_bench(bf16=bf16, spectral_norm=sn, batch=batch)
+            run_train_bench(bf16=bf16, spectral_norm=sn, batch=batch,
+                            remat=remat)
         except RuntimeError as e:
             if sn and "too large" in str(e):
                 log("bench: SN-on module over the tunnel limit; SN-off")
-                run_train_bench(bf16=bf16, spectral_norm=False, batch=batch)
+                run_train_bench(bf16=bf16, spectral_norm=False, batch=batch,
+                                remat=remat)
             else:
                 raise
         return
