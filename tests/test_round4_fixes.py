@@ -144,3 +144,50 @@ def test_sn_external_scan_blocks():
     l_ext, _ = _two_train_steps(sn_external=True, flatten=False,
                                 scan_blocks=True)
     np.testing.assert_allclose(l_ext, l_ref, rtol=1e-6)
+
+
+def test_diff_rollout_match_and_mismatch(tmp_path):
+    """rollout --diff-against's comparator (the HF parity acceptance,
+    docs/HF_PARITY.md): identical trees PASS, a perturbed variable FAILs
+    with its per-variable error reported."""
+    import numpy as np
+
+    from credit_tpu.applications.experiment import diff_rollout
+    from credit_tpu.data.channels import ChannelSchema
+    from credit_tpu.grid import Grid
+    from credit_tpu.output import save_netcdf_increment
+
+    conf = {"data": {"source": {"ERA5": {
+        "levels": [0.0, 1.0],
+        "variables": {"prognostic": {"vars_3D": ["T"], "vars_2D": ["SP"]}},
+    }}}}
+    schema = ChannelSchema.from_config(conf)
+    grid = Grid.regular(4, 8, levels=[0.0, 1.0])
+    rng = np.random.default_rng(0)
+    flat = rng.standard_normal((1, 4, 8, schema.n_target)).astype(np.float32)
+    p_ours = save_netcdf_increment(flat, schema, grid,
+                                   str(tmp_path / "ours"), "init", 6)
+    p_ref = save_netcdf_increment(flat, schema, grid,
+                                  str(tmp_path / "ref"), "init", 6)
+    rep = diff_rollout([p_ours], str(tmp_path / "ref"))
+    assert rep[0]["ok"], rep
+    assert all(v["rel"] == 0.0 for v in rep[0]["vars"].values())
+
+    flat2 = flat.copy()
+    flat2[..., 0] += 0.1  # perturb T only
+    p_bad = save_netcdf_increment(flat2, schema, grid,
+                                  str(tmp_path / "bad"), "init", 6)
+    rep = diff_rollout([p_bad], str(tmp_path / "ref"))
+    assert not rep[0]["ok"]
+    assert not rep[0]["vars"]["T"]["ok"]
+    assert rep[0]["vars"]["SP"]["ok"]
+    # missing reference file reports, not crashes
+    rep = diff_rollout([p_ours], str(tmp_path / "nowhere"))
+    assert not rep[0]["ok"] and rep[0]["error"]
+
+
+def test_train_bench_noremat_smoke(monkeypatch):
+    out = _run_to_json(monkeypatch, bf16=False, kind="tiny", steps=1,
+                       remat=False)
+    assert out["value"] > 0
+    assert "remat off" in out["note"]
