@@ -396,7 +396,7 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1,
 
 def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
                     spectral_norm: bool = True, batch: int = 1,
-                    remat: bool = True):
+                    remat: bool = True, pallas: bool = False):
     """Training-step benchmark: fwd + bwd + AdamW on the flagship config,
     timed as the difference of K- and 2K-step on-device scans (the same
     tunnel-safe methodology as the rollout bench). Remat on the transformer
@@ -416,6 +416,13 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     # measures the recompute tax when the activations fit (batch 1 does on
     # a 16 GB v5e)
     conf["model"]["remat"] = remat
+    if pallas:
+        # conv-emitter-free TRAINING: forward convs as Pallas/im2col (their
+        # VJPs run XLA conv-grads), FF as the fused kernel with its exact
+        # recompute VJP. 'force' because 'auto' gates training off pending
+        # this very measurement.
+        conf["model"]["pallas_conv"] = "force"
+        conf["model"]["ff_fusion"] = "force"
     if kind != "fuxi":
         # scan-over-layers: the unrolled flagship TRAINING graph serializes
         # to 8.7 MB of StableHLO and the remote-compile tunnel rejects it
@@ -541,6 +548,8 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
         out["note"] = "spectral_norm off (module over tunnel body limit)"
     if not remat:
         out["note"] = (out.get("note", "") + " remat off").strip()
+    if pallas:
+        out["note"] = (out.get("note", "") + " pallas train path").strip()
     print(json.dumps(out), flush=True)
 
 
@@ -569,12 +578,12 @@ def main():
         remat = "--noremat" not in sys.argv
         try:
             run_train_bench(bf16=bf16, spectral_norm=sn, batch=batch,
-                            remat=remat)
+                            remat=remat, pallas=pallas)
         except RuntimeError as e:
             if sn and "too large" in str(e):
                 log("bench: SN-on module over the tunnel limit; SN-off")
                 run_train_bench(bf16=bf16, spectral_norm=False, batch=batch,
-                                remat=remat)
+                                remat=remat, pallas=pallas)
             else:
                 raise
         return

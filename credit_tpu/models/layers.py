@@ -369,9 +369,13 @@ class FeedForward(nn.Module):
         c = x.shape[-1]
         hidden = self.dim * self.mult
         x = x.astype(self.dtype)
+        # 'force' also applies in TRAIN mode: fused_ff_diff carries an exact
+        # XLA-recompute VJP (gradients match the unfused composition);
+        # 'auto' stays inference-only pending a measured training win
         fused = ((self.fuse == "force"
-                  or (self.fuse == "auto" and pallas_ff.fuse_ok_auto()))
-                 and not train and not self.is_initializing()
+                  or (self.fuse == "auto" and pallas_ff.fuse_ok_auto()
+                      and not train))
+                 and not self.is_initializing()
                  and pallas_ff.ff_fits_shape(x.shape, hidden,
                                              x.dtype.itemsize))
         if fused:

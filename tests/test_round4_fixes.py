@@ -191,3 +191,55 @@ def test_train_bench_noremat_smoke(monkeypatch):
                        remat=False)
     assert out["value"] > 0
     assert "remat off" in out["note"]
+
+
+def test_train_step_pallas_force_parity():
+    """The conv-emitter-free TRAINING path (pallas_conv + ff_fusion force,
+    interpret mode on CPU): full train-step losses match the XLA path —
+    gates the custom VJPs (Pallas conv XLA-grad backward, fused-FF
+    recompute backward) composed through value_and_grad + the scan."""
+    import numpy as np
+
+    def steps(pallas):
+        import jax
+        import jax.numpy as jnp
+
+        from bench import _bench_conf
+        from credit_tpu.data.channels import ChannelSchema
+        from credit_tpu.losses import WeightedLoss
+        from credit_tpu.models import load_model
+        from credit_tpu.trainers.trainer import (TrainState, make_optimizer,
+                                                 make_train_step)
+
+        conf, h, w, frames = _bench_conf("tiny", bf16=False)
+        conf["trainer"] = {"learning_rate": 1e-3}
+        if pallas:
+            conf["model"]["pallas_conv"] = "force"
+            conf["model"]["ff_fusion"] = "force"
+        schema = ChannelSchema.from_config(conf)
+        model = load_model(conf)
+        kx, ky = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(kx, (1, frames, h, w, schema.n_input),
+                              jnp.float32)
+        y = jax.random.normal(ky, (1, 1, h, w, schema.n_target), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(1), x)
+        optimizer = make_optimizer(conf, lambda _: 1e-3)
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           params=variables["params"],
+                           spectral=variables.get("spectral", {}),
+                           opt_state=optimizer.init(variables["params"]))
+        step = jax.jit(make_train_step(model, WeightedLoss(base="mse"),
+                                       optimizer, schema, forecast_len=1,
+                                       history_len=frames))
+        out = []
+        for i in range(2):
+            state, m = step(state, {"x": x, "y": y},
+                            jax.random.fold_in(jax.random.PRNGKey(2), i))
+            out.append(float(m["loss"]))
+        return out
+
+    l_ref = steps(False)
+    l_pal = steps(True)
+    # FF kernel accumulates LN/GELU in f32 where XLA may not — small drift,
+    # compounding once through the first optimizer update
+    np.testing.assert_allclose(l_pal, l_ref, rtol=5e-3)
