@@ -104,11 +104,15 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
         ph, pw = _pair(padding)
         # under pallas mode the s2d rewrite applies to ALL even-kernel
         # stride-2 convs (not just kh >= 8): the resulting stride-1 conv
-        # is what the Pallas kernel / GEMM form needs
+        # is what the Pallas kernel / GEMM form needs. Odd padded dims are
+        # allowed IN PALLAS MODE: _conv2d_s2d zero-extends to even and
+        # slices the output (exact; without this, odd-height stages — the
+        # whole 1-degree model — kept XLA stride-2 convs in the graph and
+        # re-triggered the slow-emitter tax next to the fused FF)
+        even = ((x.shape[1] + 2 * ph) % 2 == 0
+                and (x.shape[2] + 2 * pw) % 2 == 0)
         if (s == (2, 2) and kh % 2 == 0 and kw % 2 == 0
-                and (kh >= 8 or use_pallas)
-                and (x.shape[1] + 2 * ph) % 2 == 0
-                and (x.shape[2] + 2 * pw) % 2 == 0):
+                and (kh >= 8 or use_pallas) and (even or use_pallas)):
             return _conv2d_s2d(x, kernel, bias, (ph, pw), accum_dtype)
         if use_pallas and s == (1, 1):
             xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0))) \
@@ -143,8 +147,15 @@ def _conv2d_s2d(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
     n, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
     ph, pw = pad
-    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    h2, w2 = (h + 2 * ph) // 2, (w + 2 * pw) // 2
+    # torch output size of the stride-2 conv (independent of the evening pad)
+    ho = (h + 2 * ph - kh) // 2 + 1
+    wo = (w + 2 * pw - kw) // 2 + 1
+    # odd padded dims: one extra zero row/col makes the phase split exact;
+    # output rows whose window touches the extra zeros are sliced off below
+    eh = (h + 2 * ph) % 2
+    ew = (w + 2 * pw) % 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph + eh), (pw, pw + ew), (0, 0)))
+    h2, w2 = (h + 2 * ph + eh) // 2, (w + 2 * pw + ew) // 2
     # (N, h2, 2, w2, 2, C) -> (N, h2, w2, 2, 2, C) -> channel-stacked phases
     p = xp.reshape(n, h2, 2, w2, 2, cin).transpose(0, 1, 3, 2, 4, 5)
     p = p.reshape(n, h2, w2, 4 * cin)
@@ -152,14 +163,17 @@ def _conv2d_s2d(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
     k2 = kernel.reshape(kh // 2, 2, kw // 2, 2, cin, cout)
     k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(kh // 2, kw // 2,
                                                 4 * cin, cout)
+    out = None
     if _PALLAS_CONVS.get():
-        out = _pallas_valid_conv(p, k2, bias, accum_dtype)
-        if out is not None:
-            return out
-    out = lax.conv_general_dilated(
-        p, k2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
-        dimension_numbers=_DN, preferred_element_type=_accum(x, accum_dtype),
-    ).astype(x.dtype)
+        out = _pallas_valid_conv(p, k2, None, accum_dtype)
+    if out is None:
+        out = lax.conv_general_dilated(
+            p, k2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+            dimension_numbers=_DN,
+            preferred_element_type=_accum(x, accum_dtype),
+        ).astype(x.dtype)
+    if out.shape[1] != ho or out.shape[2] != wo:
+        out = out[:, :ho, :wo]
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -164,3 +164,25 @@ def test_cross_embed_merged_spectral_state():
     before = variables["spectral"]["conv0"]["u"]
     after = updates["spectral"]["conv0"]["u"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_s2d_conv_odd_dims_pallas_parity():
+    """Odd padded dims (every 1-degree stage) route through s2d in pallas
+    mode via the zero-extend+slice trick — exact vs the XLA stride-2 conv.
+    Without this the 1-degree graph kept XLA stride-2 convs next to the
+    fused FF and re-triggered the slow-emitter tax (docs/PERF.md)."""
+    import numpy as np
+
+    from credit_tpu.ops import conv as conv_ops
+
+    rng = np.random.default_rng(0)
+    for (h, w, cin, k, ph) in [(241, 384, 16, 16, 0), (61, 97, 24, 4, 1),
+                               (31, 49, 16, 2, 0), (60, 96, 16, 4, 1)]:
+        x = jnp.asarray(rng.standard_normal((1, h, w, cin)) * .3, jnp.float32)
+        kk = jnp.asarray(rng.standard_normal((k, k, cin, 8)) * .1, jnp.float32)
+        ref = conv_ops.conv2d(x, kk, None, 2, ph)
+        with conv_ops.pallas_convs(True):
+            got = conv_ops.conv2d(x, kk, None, 2, ph)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
