@@ -13,8 +13,10 @@ Numerics: LN stats in f32 (same as ChannelLayerNorm), MXU accumulation in
 f32 (the XLA bf16 path rounds accumulators to bf16 — the kernel is slightly
 MORE accurate), GELU exact (erf).
 
-Used for inference/rollout paths only (no custom VJP yet); training keeps
-the XLA path.
+fused_ff_diff carries an exact XLA-recompute VJP, so ff_fusion: force also
+works in training (measured a wash at flagship scale — the conv GRADS stay
+XLA and pay the slow-emitter tax; docs/PERF.md); 'auto' engages for
+inference inside a conv-emitter-free graph.
 """
 
 from __future__ import annotations
@@ -247,6 +249,13 @@ def fused_ff(x, g, b, w1, b1, w2, b2, interpret=None,
     if interpret is None:
         interpret = not on_tpu()
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # raise Mosaic's scoped-vmem stack limit (default ~16.1 MB): the
+    # stage-3 tile at batch 4 allocates 16.16 MB and failed compile by
+    # 36 KB; the conv kernel runs with the same raised limit (measured
+    # runtime-safe around 30 MB of scoped buffers on v5e)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     c = x.shape[-1]
     hidden = w1.shape[1]
@@ -275,6 +284,7 @@ def fused_ff(x, g, b, w1, b1, w2, b2, interpret=None,
             out_specs=pl.BlockSpec((1, th, w, c),
                                    lambda bi, hi: (bi, hi, 0, 0)),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=cparams,
             interpret=interpret,
         )(x, row(g), row(b), w1.astype(x.dtype), row(b1),
           w2.astype(x.dtype), row(b2))
@@ -295,6 +305,7 @@ def fused_ff(x, g, b, w1, b1, w2, b2, interpret=None,
         ],
         out_specs=pl.BlockSpec((tm, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        compiler_params=cparams,
         interpret=interpret,
     )(x, row(g), row(b), w1.astype(x.dtype), row(b1),
       w2.astype(x.dtype), row(b2))
