@@ -407,6 +407,9 @@ class Trainer:
                 from credit_tpu.parallel.validate import assert_valid_sharding
 
                 assert_valid_sharding(conf, schema, self.mesh, model)
+            self._tp, self._dom = tp, dom
+        else:
+            self._tp = self._dom = 1
         self.dp = dp
 
         from credit_tpu.trainers.scheduler import load_scheduler
@@ -454,14 +457,15 @@ class Trainer:
         if rp:
             from credit_tpu.data.replay_buffer import ReplayBuffer
 
-            if jax.process_count() > 1:
-                # replay device_gets the globally-sharded final state, which
-                # is not fully addressable under multi-process — gathering
-                # per-host shards is future work (advisor round-2 finding)
+            if jax.process_count() > 1 and (self._tp > 1 or self._dom > 1):
+                # under pure dp each process's addressable shards are WHOLE
+                # samples (its own dp rows), so replay stores them locally;
+                # tensor/domain sharding splits a sample across processes
+                # and would need a cross-host gather to store it
                 raise NotImplementedError(
-                    "trainer.replay is single-process only: the replayed "
-                    "final state is a GSPMD-sharded array that cannot be "
-                    "fetched whole from one host")
+                    "trainer.replay under multi-process requires "
+                    "parallelism {tensor: 1, domain: 1}: spatially/model-"
+                    "sharded final states cannot be stored whole per host")
             rp = rp if isinstance(rp, dict) else {}
             self.replay = ReplayBuffer(
                 capacity=int(rp.get("capacity", 128)),
@@ -826,7 +830,18 @@ class Trainer:
                 else:
                     state, metrics = step_fn(state, batch, sub)
                 if self.replay is not None:
-                    fx = np.asarray(jax.device_get(metrics.pop("_final_x")))
+                    arr = metrics.pop("_final_x")
+                    if nproc > 1:
+                        # pure-dp: this process's shards are its own dp
+                        # rows, whole samples each; ascending global row
+                        # order matches the local sampler order (the same
+                        # contract the batch feed relies on)
+                        shards = sorted(arr.addressable_shards,
+                                        key=lambda s: (s.index[0].start or 0))
+                        fx = np.concatenate(
+                            [np.asarray(s.data) for s in shards], axis=0)
+                    else:
+                        fx = np.asarray(jax.device_get(arr))
                     for i, t in enumerate(t_next):
                         # bound uses the SCHEDULED length — replayed states
                         # must leave room for this epoch's rollout window

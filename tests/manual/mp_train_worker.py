@@ -15,6 +15,7 @@ import sys
 def main():
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 int(sys.argv[3]), sys.argv[4])
+    replay = len(sys.argv) > 5 and sys.argv[5] == "replay"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -80,9 +81,16 @@ def main():
     with open(os.path.join(outdir, f"batches_{pid}.txt"), "w") as f:
         json.dump(consumed, f)
 
+    if replay:
+        # multi-process replay: pure dp — every process stores its OWN dp
+        # rows' predicted states (whole samples) in its local buffer
+        conf["trainer"]["replay"] = {"capacity": 16, "probability": 0.5}
     trainer = Trainer(conf, model, loss, loss, schema, dataset,
                       save_loc=conf["save_loc"])
     trainer.fit(seed=0)
+    if replay:
+        with open(os.path.join(outdir, f"replay_{pid}.txt"), "w") as f:
+            f.write(str(len(trainer.replay)))
     import csv
 
     if jax.process_index() == 0:

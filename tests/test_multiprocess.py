@@ -76,3 +76,26 @@ def test_two_process_training_matches_single_process(tmp_path):
     # collective orbax checkpoint restored fine implies save worked; assert
     # the checkpoint dir exists with committed metadata
     assert (mp / "ckpt" / "checkpoint").exists()
+
+
+@pytest.mark.slow
+def test_two_process_replay_training(tmp_path):
+    """Replay training under 2 processes (pure dp): each process stores its
+    own dp rows' predicted states locally — the fit completes, both buffers
+    fill, and the loss is finite (round-2 advisor limitation lifted for the
+    tensor=domain=1 case)."""
+    mp = tmp_path / "replay"
+    mp.mkdir()
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), "2", str(port), str(mp), "replay"],
+        env=_env(1), stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+    n0 = int((mp / "replay_0.txt").read_text())
+    n1 = int((mp / "replay_1.txt").read_text())
+    assert n0 > 0 and n1 > 0, (n0, n1)
+    loss = np.loadtxt(mp / "loss_0.txt")
+    assert np.isfinite(loss).all()
