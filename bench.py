@@ -157,7 +157,7 @@ def _bench_conf(kind: str, bf16: bool, pallas: bool = False):
     model_conf = {"model": dict(base)}
     if bf16:
         model_conf["model"]["compute_dtype"] = "bfloat16"
-    if pallas and base.get("type") == "crossformer":
+    if pallas and base.get("type") in ("crossformer", "fuxi"):
         # conv-emitter-free graph: embeds/decoder convs as Pallas kernels +
         # GEMMs, which lets the fused-FF kernel turn on (docs/PERF.md)
         model_conf["model"]["pallas_conv"] = "auto"
@@ -590,7 +590,7 @@ def main():
     if both or only_1deg:
         run_bench(flagship=False, bf16=bf16)
     if only_fuxi or both:
-        run_bench(flagship=False, bf16=bf16, kind="fuxi")
+        run_bench(flagship=False, bf16=bf16, kind="fuxi", pallas=pallas)
     if both or not (only_1deg or only_fuxi):
         # ROLLOUT FIRST — it is the headline and must be banked before the
         # riskier training compile touches the tunnel; its JSON line is

@@ -75,6 +75,8 @@ class UTransformer(nn.Module):
     use_sn: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    scan_blocks: bool = False
+    mlp_fuse: str = "never"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -88,7 +90,9 @@ class UTransformer(nn.Module):
         x = jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
                         (pw // 2, pw - pw // 2), (0, 0)))
         x = SwinStageV2(self.dim, self.depth, self.num_heads, ws,
-                        self.dtype, self.remat, name="swin")(x)
+                        self.dtype, self.remat,
+                        scan_blocks=self.scan_blocks,
+                        mlp_fuse=self.mlp_fuse, name="swin")(x)
         x = x[:, ph // 2:ph // 2 + h, pw // 2:pw // 2 + w]
         x = jnp.concatenate([shortcut, x], axis=-1)
         return UpBlock(self.dim, self.num_groups, use_sn=self.use_sn,
@@ -118,6 +122,16 @@ class Fuxi(BaseModel):
     padding_conf: Any = None
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    scan_blocks: bool = False  # scan the (unshifted, shifted) block pairs
+    # conv-emitter-free graph + fused post-norm MLP kernels, mirroring
+    # CrossFormer.pallas_conv/ff_fusion: cube embed becomes a patch GEMM,
+    # DownBlock 3x3/s2 a strided im2col, residual 3x3s im2col, the
+    # ConvTranspose a d2s GEMM — so the fused SwinV2 MLP kernel can turn
+    # on without the slow-emitter tax. 'never' (default: the measured XLA
+    # baseline, 119.4 ms/step) | 'auto' (single-chip TPU inference) |
+    # 'force' (CPU tests, interpreted).
+    pallas_conv: str = "never"
+    ff_fusion: str = "never"
 
     @property
     def base_input_channels(self):
@@ -130,6 +144,17 @@ class Fuxi(BaseModel):
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, T=frames, H, W, C_in) -> (B, 1, H, W, C_out)."""
+        from credit_tpu.ops import conv as conv_ops
+        from credit_tpu.ops import pallas_ff
+
+        pallas_on = ((self.pallas_conv == "force"
+                      or (self.pallas_conv == "auto"
+                          and pallas_ff.single_chip_tpu() and not train))
+                     and not self.is_initializing())
+        with conv_ops.pallas_convs(pallas_on):
+            return self._forward(x, train)
+
+    def _forward(self, x, train: bool):
         pconf = self.padding_conf or {"activate": False}
         padder = TensorPadding(**pconf) if pconf.get("activate") else None
         if padder is not None:
@@ -146,7 +171,9 @@ class Fuxi(BaseModel):
 
         x = UTransformer(self.dim, self.num_groups, self.num_heads,
                          self.window_size, self.depth, use_sn=sn, dtype=dt,
-                         remat=self.remat, name="u_transformer")(x, train)
+                         remat=self.remat, scan_blocks=self.scan_blocks,
+                         mlp_fuse=self.ff_fusion,
+                         name="u_transformer")(x, train)
 
         out_c = self.base_output_channels
         ph, pw = self.patch_height, self.patch_width

@@ -214,6 +214,29 @@ class SwinBlockV2(nn.Module):
         return x
 
 
+class _SwinBlockPair(nn.Module):
+    """(unshifted, shifted) SwinV2 block pair — the scan body for
+    SwinStageV2.scan_blocks (carry-only signature for nn.scan; Swin
+    alternates the window shift, so the natural repeated unit is the
+    pair, not the block)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    dtype: Dtype = jnp.float32
+    mlp_fuse: str = "never"
+
+    @nn.compact
+    def __call__(self, x, _=None):
+        x = SwinBlockV2(self.dim, self.num_heads, self.window_size, shift=0,
+                        dtype=self.dtype, mlp_fuse=self.mlp_fuse,
+                        name="b0")(x)
+        x = SwinBlockV2(self.dim, self.num_heads, self.window_size,
+                        shift=self.window_size // 2, dtype=self.dtype,
+                        mlp_fuse=self.mlp_fuse, name="b1")(x)
+        return x, None
+
+
 class SwinStageV2(nn.Module):
     """depth x SwinV2 blocks alternating regular/shifted windows — the
     timm SwinTransformerV2Stage analogue (same-resolution, no downsample)."""
@@ -225,15 +248,15 @@ class SwinStageV2(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     scan_blocks: bool = False
+    mlp_fuse: str = "never"
 
     @nn.compact
     def __call__(self, x):
         if self.scan_blocks and self.depth >= 2 and self.depth % 2 == 0:
-            # scan-over-layers: the natural body is the (unshifted, shifted)
-            # block PAIR — Swin alternates the window shift, so depth/2
-            # identical pairs scan over stacked params (one pair graph in
-            # the module instead of depth block graphs; the FuXi depth-16
-            # training-module size lever, see models/layers.py Transformer)
+            # scan-over-layers: depth/2 identical pairs scan over stacked
+            # params (one pair graph in the module instead of depth block
+            # graphs; the FuXi depth-16 training-module size lever, see
+            # models/layers.py Transformer)
             body = _SwinBlockPair
             if self.remat:
                 body = nn.remat(body, prevent_cse=False)
@@ -244,12 +267,13 @@ class SwinStageV2(nn.Module):
                 length=self.depth // 2,
                 metadata_params={nn.meta.PARTITION_NAME: None})
             x, _ = scan(self.dim, self.num_heads, self.window_size,
-                        self.dtype, name="blocks")(x, None)
+                        self.dtype, self.mlp_fuse, name="blocks")(x, None)
             return x
         for i in range(self.depth):
             blk = SwinBlockV2(self.dim, self.num_heads, self.window_size,
                               shift=0 if i % 2 == 0 else self.window_size // 2,
-                              dtype=self.dtype, name=f"block{i}")
+                              dtype=self.dtype, mlp_fuse=self.mlp_fuse,
+                              name=f"block{i}")
             if self.remat:
                 x = nn.remat(lambda m, z: m(z))(blk, x)
             else:

@@ -120,6 +120,18 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
             out = _pallas_valid_conv(xp, kernel, bias, accum_dtype)
             if out is not None:
                 return out
+        if use_pallas and s != (1, 1) and kh < 4 and kw < 4:
+            # odd small kernels at stride > 1 (FuXi DownBlock 3x3/s2):
+            # strided im2col GEMM keeps the graph conv-emitter-free where
+            # the even-kernel s2d rewrite does not apply
+            from credit_tpu.ops import pallas_conv as pc
+
+            xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0))) \
+                if (ph or pw) else x
+            out = pc.im2col_conv_strided(xp, kernel, s)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
         pad = ((ph, ph), (pw, pw))
     else:
         if use_pallas and s == (1, 1) and padding == "VALID":
@@ -292,6 +304,19 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=(1, 1, 1),
         stride = (stride,) * 3
     if isinstance(padding, int):
         padding = ((padding,) * 2,) * 3
+    if (_PALLAS_CONVS.get() and tuple(stride) == tuple(kernel.shape[:3])
+            and all(p == (0, 0) for p in padding)):
+        # non-overlapping patch embed (CubeEmbedding): one GEMM, exact;
+        # torch Conv3d truncates non-divisible dims, so do the same
+        from credit_tpu.ops import pallas_conv as pc
+
+        kd, kh3, kw3 = kernel.shape[:3]
+        n, d, h, w, _ = x.shape
+        xt = x[:, :(d // kd) * kd, :(h // kh3) * kh3, :(w // kw3) * kw3, :]
+        out = pc.patch_conv3d_gemm(xt, kernel)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
     out = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=tuple(stride), padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),

@@ -228,16 +228,47 @@ def im2col_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     the Pallas kernel), acceptable for the stage-1+ embeds and decoder
     convs, which are small next to stage 0. Natively differentiable.
     """
+    return im2col_conv_strided(x, kernel, (1, 1))
+
+
+def im2col_conv_strided(x: jnp.ndarray, kernel: jnp.ndarray,
+                        stride=(1, 1)) -> jnp.ndarray:
+    """General strided VALID conv as shifted strided slices + ONE GEMM —
+    covers odd kernels at stride 2 (FuXi DownBlock 3x3/s2) that the
+    space-to-depth rewrite cannot express. Same conv-emitter-free property
+    and differentiability as im2col_conv."""
     n, hp, wp, cin = x.shape
     kh, kw, _, cout = kernel.shape
-    ho, wo = hp - kh + 1, wp - kw + 1
-    cols = [x[:, di:di + ho, dj:dj + wo, :]
+    sh, sw = stride
+    ho = (hp - kh) // sh + 1
+    wo = (wp - kw) // sw + 1
+    cols = [x[:, di:di + sh * (ho - 1) + 1:sh, dj:dj + sw * (wo - 1) + 1:sw, :]
             for di in range(kh) for dj in range(kw)]
     patches = jnp.concatenate(cols, axis=-1)  # (n, ho, wo, kh*kw*cin)
     y = jnp.dot(patches.reshape(n * ho * wo, kh * kw * cin),
                 kernel.reshape(kh * kw * cin, cout).astype(x.dtype),
                 preferred_element_type=jnp.float32)
     return y.astype(x.dtype).reshape(n, ho, wo, cout)
+
+
+def patch_conv3d_gemm(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Non-overlapping 3-D patch embed (stride == kernel, the Conv3d
+    CubeEmbedding case) as a single GEMM: split (D, H, W) into patches,
+    flatten each to channels, contract with the flattened kernel. Exact
+    (every output element is the same dot product) and conv-emitter-free.
+
+    x: (N, D, H, W, C); kernel: (kd, kh, kw, C, Cout); D % kd == H % kh ==
+    W % kw == 0 (callers pad first, as torch Conv3d with stride==kernel
+    implicitly truncates — our CubeEmbedding pads to multiples)."""
+    n, d, h, w, cin = x.shape
+    kd, kh, kw, _, cout = kernel.shape
+    od, oh, ow = d // kd, h // kh, w // kw
+    p = x.reshape(n, od, kd, oh, kh, ow, kw, cin)
+    p = p.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (n, od, oh, ow, kd, kh, kw, c)
+    p = p.reshape(n * od * oh * ow, kd * kh * kw * cin)
+    y = jnp.dot(p, kernel.reshape(kd * kh * kw * cin, cout).astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    return y.astype(x.dtype).reshape(n, od, oh, ow, cout)
 
 
 def matmul_1x1(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

@@ -186,3 +186,42 @@ def test_s2d_conv_odd_dims_pallas_parity():
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_strided_im2col_odd_kernel_parity():
+    """3x3 stride-2 (FuXi DownBlock) routes through the strided im2col GEMM
+    in pallas mode — exact vs the XLA conv."""
+    import numpy as np
+
+    from credit_tpu.ops import conv as conv_ops
+
+    rng = np.random.default_rng(1)
+    for (h, w, cin) in [(33, 49, 24), (32, 48, 16)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)) * .3, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, 8)) * .1, jnp.float32)
+        ref = conv_ops.conv2d(x, k, None, 2, 1)
+        with conv_ops.pallas_convs(True):
+            got = conv_ops.conv2d(x, k, None, 2, 1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_patch_conv3d_gemm_parity():
+    """CubeEmbedding's Conv3d (stride == kernel) as one GEMM in pallas
+    mode — exact vs lax.conv, incl. torch's truncation of non-divisible
+    dims."""
+    import numpy as np
+
+    from credit_tpu.ops import conv as conv_ops
+
+    rng = np.random.default_rng(2)
+    for (d, h, w) in [(2, 16, 24), (2, 17, 25)]:  # divisible + truncating
+        x = jnp.asarray(rng.standard_normal((1, d, h, w, 6)) * .3, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((2, 4, 4, 6, 8)) * .1, jnp.float32)
+        ref = conv_ops.conv3d(x, k, None, stride=(2, 4, 4), padding=0)
+        with conv_ops.pallas_convs(True):
+            got = conv_ops.conv3d(x, k, None, stride=(2, 4, 4), padding=0)
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
