@@ -53,17 +53,22 @@ def _relative_position_index(ws: int) -> np.ndarray:
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
 
 
-def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
-    """(nWin, T, T) additive mask for shifted windows."""
-    img = np.zeros((h, w), np.int32)
-    cnt = 0
-    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-            img[hs, wsl] = cnt
-            cnt += 1
-    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
-    diff = win[:, :, None] - win[:, None, :]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> jnp.ndarray:
+    """(nWin, T, T) additive mask for shifted windows, built from iota ops.
+
+    The previous np version materialized the mask as a module CONSTANT —
+    at FuXi scale (345 windows x 49 x 49 f32) that is 3.3 MB serialized
+    PER SHIFTED BLOCK, a 107 MB module for the depth-16 rollout. The iota
+    form is a few ops that XLA folds on device."""
+    def region(n):
+        i = jnp.arange(n)
+        return jnp.where(i < n - ws, 0, jnp.where(i < n - shift, 1, 2))
+
+    img = region(h)[:, None] * 3 + region(w)[None, :]
+    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)
+    diff = win[:, :, None] != win[:, None, :]
+    return jnp.where(diff, -100.0, 0.0).astype(jnp.float32)
 
 
 class _QKVKernel(nn.Module):
