@@ -127,11 +127,12 @@ class Fuxi(BaseModel):
     # CrossFormer.pallas_conv/ff_fusion: cube embed becomes a patch GEMM,
     # DownBlock 3x3/s2 a strided im2col, residual 3x3s im2col, the
     # ConvTranspose a d2s GEMM — so the fused SwinV2 MLP kernel can turn
-    # on without the slow-emitter tax. 'never' (default: the measured XLA
-    # baseline, 119.4 ms/step) | 'auto' (single-chip TPU inference) |
-    # 'force' (CPU tests, interpreted).
-    pallas_conv: str = "never"
-    ff_fusion: str = "never"
+    # on without the slow-emitter tax. Measured at reference arXiv scale
+    # (640x1280, one v5e, round 4): 113.1 ms/step vs the 119.4 XLA path,
+    # so 'auto' (single-chip TPU inference) is the DEFAULT; 'never' keeps
+    # the XLA composition; 'force' for CPU tests (interpreted).
+    pallas_conv: str = "auto"
+    ff_fusion: str = "auto"
 
     @property
     def base_input_channels(self):
