@@ -171,3 +171,33 @@ def test_fuxi_pallas_force_parity():
     scale = np.abs(ref).max() + 1e-6
     assert np.abs(got - ref).max() / scale < 5e-3, \
         np.abs(got - ref).max() / scale
+
+
+def test_fuxi_module_has_no_giant_constants():
+    """The shifted-window masks used to serialize as np constants — 3.3 MB
+    per shifted block, a 107 MB module at FuXi scale that the remote
+    compiler rejects. Lock the serialized module size so mask-/table-like
+    constants cannot silently creep back in."""
+    import numpy as np
+
+    from credit_tpu.models import load_model
+
+    conf = {"model": {
+        "type": "fuxi", "frames": 2, "frame_patch_size": 2,
+        "image_height": 112, "image_width": 224, "patch_height": 4,
+        "patch_width": 4, "levels": 2, "channels": 2, "surface_channels": 2,
+        "input_only_channels": 1, "output_only_channels": 0,
+        "dim": 64, "num_groups": 4, "num_heads": 4, "window_size": 7,
+        "depth": 4, "use_spectral_norm": False, "interp": True,
+    }}
+    model = load_model(conf)
+    x_s = jax.ShapeDtypeStruct((1, 2, 112, 224, model.base_input_channels),
+                               jnp.float32)
+    vs = jax.eval_shape(model.init, jax.random.PRNGKey(0), x_s)
+    sds = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), vs)
+    low = jax.jit(lambda v, a: model.apply(v, a)).lower(sds, x_s)
+    asm = low.compiler_ir("stablehlo").operation.get_asm(
+        binary=True, enable_debug_info=True)
+    # np-constant masks at this shape alone would add ~10 MB
+    assert len(asm) < 2_000_000, f"{len(asm)/1e6:.1f} MB module"
