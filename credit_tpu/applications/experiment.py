@@ -212,8 +212,15 @@ def diff_rollout(paths, ref, rtol: float = 2e-4, atol: float = 2e-4):
                 os.path.basename(os.path.dirname(p)), os.path.basename(p))),
                 os.path.join(ref, os.path.basename(p))]
             rp = next((c for c in cand if os.path.exists(c)), None)
+        elif len(paths) == 1:
+            rp = ref
         else:
-            rp = ref if len(paths) == 1 or os.path.exists(ref) else None
+            # multiple outputs against a single ref FILE: only the output
+            # whose basename matches diffs against it — everything else is
+            # 'no matching reference', not a misleading per-variable FAIL
+            # (round-4 advisor finding)
+            rp = ref if (os.path.exists(ref) and os.path.basename(p)
+                         == os.path.basename(ref)) else None
         if rp is None or not os.path.exists(rp):
             report.append({"path": p, "ref": None, "ok": False,
                            "error": "no matching reference file"})

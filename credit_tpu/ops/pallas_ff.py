@@ -357,6 +357,12 @@ fused_ff_gspmd = custom_partitioning(_ffg_impl, static_argnums=(7,))
 fused_ff_gspmd.def_partition(
     partition=_ffg_partition,
     infer_sharding_from_operands=_ffg_infer,
-    # shardy rule: batch/lat/lon pass through per-shard; channel and hidden
-    # are contraction dims shared with the (replicated) weights
-    sharding_rule="b h w c, c, c, c j, j, j c, c -> b h w c")
+    # shardy rule: batch/lat/lon pass through per-shard. Channel (c) and
+    # hidden (j) MUST be marked need-replication: the kernel LayerNorms
+    # and contracts over the full channel axis, so a c- or j-sharded
+    # operand (channel-sharded activation, ZeRO/FSDP-sharded w1/w2) would
+    # otherwise run on partial slices per device with no reduction —
+    # silently wrong output (round-4 advisor finding; under JAX 0.9 the
+    # Shardy partitioner follows THIS rule, not the GSPMD callbacks).
+    sharding_rule="b h w c, c, c, c j, j, j c, c -> b h w c",
+    need_replication_factors=("c", "j"))

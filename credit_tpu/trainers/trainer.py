@@ -481,7 +481,13 @@ class Trainer:
         if self.sn_external:
             from credit_tpu.models.spectral_utils import power_iter_spectral
 
-            self._sn_update = jax.jit(power_iter_spectral)
+            # n_iter static: the in-graph path updates u/v once per model
+            # FORWARD, i.e. forecast_len times per multi-step train step
+            # (u/v depend only on W, constant within the step, so k
+            # sequential updates == n_iter=k) — the call site passes the
+            # epoch's effective rollout length (round-4 advisor finding)
+            self._sn_update = jax.jit(power_iter_spectral,
+                                      static_argnames="n_iter")
         self._step_kw = dict(
             history_len=self.history_len,
             ema_decay=self.ema_decay if self.use_ema else 0.0,
@@ -813,9 +819,11 @@ class Trainer:
                 if self._sn_update is not None and state.spectral:
                     # external SN: refresh u/v against the current params
                     # before the step (the step's sigma uses these frozen
-                    # vectors — together identical to the in-graph update)
+                    # vectors — together identical to the in-graph update,
+                    # which iterates once per forward = eff_len times)
                     state = state.replace(spectral=self._sn_update(
-                        state.params, state.spectral))
+                        state.params, state.spectral,
+                        n_iter=max(1, eff_len)))
                 if epoch == 0 and n_tr == 0 and pfmode:
                     # first step pays XLA compilation: run it under the
                     # startup watchdog (reference: preflight.py:109 first-

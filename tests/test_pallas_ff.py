@@ -183,3 +183,53 @@ def test_fused_ff_gspmd_sharded_parity():
         # the result stays sharded like x (no gather around the kernel)
         assert out.sharding.spec == xs.spec, out.sharding
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ff_gspmd_sharded_weights_parity():
+    """Round-4 advisor (medium): under the Shardy partitioner the sdy rule
+    governs partitioning, and without need-replication on the c/j factors a
+    channel-sharded activation or a sharded w1/w2 would LayerNorm/contract
+    partial slices per device — silently wrong. Feed the kernel sharded
+    weights and a channel-sharded x and require exact parity (the rule must
+    force them whole)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from credit_tpu.ops import pallas_ff
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    mesh = Mesh(np.asarray(devs[:4]).reshape(2, 2), ("dp", "tensor"))
+
+    b_, h, w, c = 2, 8, 16, 128
+    hid = 256
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b_, h, w, c)) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, hid)) * 0.05, jnp.float32)
+    b1 = jnp.zeros((hid,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hid, c)) * 0.05, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+
+    ref = np.asarray(pallas_ff._xla_ff(x.reshape(-1, c), g, bb, w1, b1, w2,
+                                       b2)).reshape(b_, h, w, c)
+
+    with mesh:
+        args = [
+            jax.device_put(x, NamedSharding(mesh, P("dp", None, None,
+                                                    "tensor"))),
+            jax.device_put(g, NamedSharding(mesh, P("tensor"))),
+            jax.device_put(bb, NamedSharding(mesh, P("tensor"))),
+            # ZeRO/FSDP-style sharded weights: w1 split on c, w2 on j
+            jax.device_put(w1, NamedSharding(mesh, P("tensor", None))),
+            jax.device_put(b1, NamedSharding(mesh, P("tensor"))),
+            jax.device_put(w2, NamedSharding(mesh, P("tensor", None))),
+            jax.device_put(b2, NamedSharding(mesh, P("tensor"))),
+        ]
+        out = jax.jit(lambda *a: pallas_ff.fused_ff_gspmd(*a, False))(*args)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5,
+                                   atol=2e-5)

@@ -50,7 +50,8 @@ def test_train_bench_emits_json_batch_gt1(monkeypatch):
     assert out["value"] > 0
 
 
-def _two_train_steps(sn_external: bool, flatten: bool, scan_blocks=False):
+def _two_train_steps(sn_external: bool, flatten: bool, scan_blocks=False,
+                     forecast_len=1, sn_iters=None):
     """Two optimizer steps on the tiny crossformer; returns (losses, params).
 
     sn_external=True runs the torch-semantics split: u/v power iteration in a
@@ -79,7 +80,8 @@ def _two_train_steps(sn_external: bool, flatten: bool, scan_blocks=False):
 
     kx, ky = jax.random.split(jax.random.PRNGKey(0))
     x = jax.random.normal(kx, (1, frames, h, w, schema.n_input), jnp.float32)
-    y = jax.random.normal(ky, (1, 1, h, w, schema.n_target), jnp.float32)
+    y = jax.random.normal(ky, (1, forecast_len, h, w, schema.n_target),
+                          jnp.float32)
     variables = model.init(jax.random.PRNGKey(1), x)
     optimizer = make_optimizer(conf, lambda _: 1e-3)
     state = TrainState(step=jnp.zeros((), jnp.int32),
@@ -87,14 +89,16 @@ def _two_train_steps(sn_external: bool, flatten: bool, scan_blocks=False):
                        spectral=variables.get("spectral", {}),
                        opt_state=optimizer.init(variables["params"]))
     step = jax.jit(make_train_step(model, WeightedLoss(base="mse"), optimizer,
-                                   schema, forecast_len=1,
+                                   schema, forecast_len=forecast_len,
                                    history_len=frames,
                                    sn_external=sn_external))
-    sn_up = jax.jit(power_iter_spectral)
+    sn_up = jax.jit(power_iter_spectral, static_argnames="n_iter")
     losses = []
     for i in range(2):
         if sn_external:
-            state = state.replace(spectral=sn_up(state.params, state.spectral))
+            state = state.replace(spectral=sn_up(
+                state.params, state.spectral,
+                n_iter=sn_iters or forecast_len))
         state, m = step(state, {"x": x, "y": y},
                         jax.random.fold_in(jax.random.PRNGKey(2), i))
         losses.append(float(m["loss"]))
@@ -117,6 +121,36 @@ def test_sn_external_matches_in_graph():
     for a, b in zip(jax.tree_util.tree_leaves(s_ref.spectral),
                     jax.tree_util.tree_leaves(s_ext.spectral)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sn_external_matches_in_graph_multistep():
+    """forecast_len=2: the in-graph path updates u/v once per FORWARD (twice
+    per step), so external SN passes n_iter=forecast_len (round-4 advisor
+    finding). END-OF-STEP u/v then match exactly; within-step sigmas differ
+    by a one-iteration lag per forward (forward #2 in-graph sees u/v after
+    its own update — unreproducible outside the graph without splitting the
+    step), so losses agree only to ~1%. Both assertions are the contract."""
+    import numpy as np
+    import jax
+
+    l_ref, s_ref = _two_train_steps(sn_external=False, flatten=False,
+                                    forecast_len=2)
+    l_ext, s_ext = _two_train_steps(sn_external=True, flatten=False,
+                                    forecast_len=2)
+    l_one, s_one = _two_train_steps(sn_external=True, flatten=False,
+                                    forecast_len=2, sn_iters=1)
+    np.testing.assert_allclose(l_ext, l_ref, rtol=2e-2)
+
+    def drift(s):
+        return max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                   for a, b in zip(jax.tree_util.tree_leaves(s_ref.spectral),
+                                   jax.tree_util.tree_leaves(s.spectral)))
+
+    d_match, d_single = drift(s_ext), drift(s_one)
+    assert d_match < 2e-2, d_match
+    # the discriminating claim: matching the per-forward iteration count
+    # tracks the in-graph trajectory strictly closer than one iteration
+    assert d_match < 0.5 * d_single, (d_match, d_single)
 
 
 def test_flatten_optimizer_matches_per_leaf():

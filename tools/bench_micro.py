@@ -113,6 +113,11 @@ def attn_chain_base(wqkv, wout, bias, heads, variant, x):
         o = jnp.einsum("hbnij,hbnjd->hbnid", attn, v,
                        preferred_element_type=x.dtype)
         out = o.transpose(1, 2, 3, 0, 4).reshape(b, n, t, inner)
+    elif variant == "grouped":
+        # round-5 grouped block-diagonal Pallas kernel
+        from credit_tpu.ops.pallas_attention import fused_window_attention
+
+        out = fused_window_attention(qh, kh, vh, bias, heads)
     else:
         raise ValueError(variant)
     y = jnp.matmul(out.reshape(-1, inner), wout,
@@ -123,16 +128,23 @@ def attn_chain_base(wqkv, wout, bias, heads, variant, x):
 def bench_attn():
     key = jax.random.PRNGKey(0)
     cases = [
+        # flagship 0.25-deg stage shapes: (name, nwin, T, C, heads)
         ("stage0-short", 2880, 100, 128, 4),
-        ("stage1-short", 2880, 25, 256, 8),
+        ("stage1-short", 720, 100, 256, 8),
+        ("stage2-short", 180, 100, 512, 16),
+        ("stage3-short", 45, 100, 1024, 32),
+        ("stage1-long", 2880, 25, 256, 8),
+        ("stage2-long", 4500, 4, 512, 16),
     ]
+    variants = ("einsum", "grouped") if "-v" not in sys.argv else (
+        "einsum", "pretranspose", "headmajor", "grouped")
     for name, n, t, c, heads in cases:
         inner = heads * 32
         x = (jax.random.normal(key, (1, n, t, c)) * 0.1).astype(jnp.bfloat16)
         wqkv = (jax.random.normal(key, (c, inner * 3)) * 0.02).astype(jnp.bfloat16)
         wout = (jax.random.normal(key, (inner, c)) * 0.02).astype(jnp.bfloat16)
         bias = (jax.random.normal(key, (t, t)) * 0.1).astype(jnp.float32)
-        for variant in ("einsum", "pretranspose", "headmajor"):
+        for variant in variants:
             per, s = timed(partial(attn_chain_base, wqkv, wout, bias, heads,
                                    variant), x)
             print(f"attn {name} {variant:13s}: {per:7.3f} ms sum={s:.3e}",
