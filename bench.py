@@ -357,7 +357,7 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1,
     # posts have WEDGED it for hours. Pallas custom calls embed Mosaic
     # payloads, so the --pallas module can be bigger than the XLA one —
     # check before handing it over.
-    limit = int(os.environ.get("BENCH_MODULE_LIMIT", "3500000"))
+    limit = int(os.environ.get("BENCH_MODULE_LIMIT", "3650000"))
     try:
         asm = rN.lower(variables, x0).compiler_ir(
             "stablehlo").operation.get_asm(binary=True,
@@ -582,7 +582,7 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
     # with HTTP 413, and repeated oversize posts have WEDGED the tunnel for
     # hours (round-2 postmortem). Never hand it a program we can already
     # see is too big.
-    limit = int(os.environ.get("BENCH_MODULE_LIMIT", "3500000"))
+    limit = int(os.environ.get("BENCH_MODULE_LIMIT", "3650000"))
     asm = rK.lower(state, batch_data).compiler_ir("stablehlo").operation.get_asm(
         binary=True, enable_debug_info=True)
     log(f"[{tag}] serialized module: {len(asm) / 1e6:.2f} MB "
@@ -755,6 +755,7 @@ def orchestrate(bf16: bool, batch: int, pallas: bool, selectors):
         or last(lambda m: m["metric"] == "wxformer_025deg_rollout")
         or last(lambda m: m["metric"] == "fuxi_640x1280_rollout")
         or last(lambda m: m["metric"] == "wxformer_1deg_40step_rollout")
+        or last(lambda m: m["metric"] != "bench_error")
         or last(lambda m: True))
     if headline is not None:
         print(json.dumps(headline), flush=True)

@@ -37,6 +37,7 @@ optimization; gradients are exact (same math, f32 accumulation).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -187,26 +188,218 @@ def _fwd(x, kernel):
     return _forward(x, kernel), (x, kernel)
 
 
+# ---------------------------------------------------------------------------
+# Conv-emitter-free BACKWARD (round 5). The original VJP lowered to two XLA
+# conv_general_dilated ops; in a pallas training graph every XLA conv
+# downstream of a custom call pays the ~4x slow-emitter tax (docs/PERF.md —
+# the reason the round-4 pallas train path measured a wash). The backward
+# now composes from the same conv-emitter-free pieces as the forward:
+#   gx: full correlation of gy with the flipped/io-swapped kernel — the
+#       blocked Pallas conv itself (it is a stride-1 VALID conv), with a
+#       tap-loop pad+GEMM fallback;
+#   gk: a dedicated Pallas weight-grad kernel (x and gy each read ONCE,
+#       all kh*kw tap GEMMs accumulate in a VMEM-resident block), with a
+#       strided-slice GEMM fallback for small kernels.
+# CREDIT_CONV_GRAD=xla restores the old path for A/B measurement.
+
+
+def _wgrad_vmem(th, wpp, cin, cout, kh, kw, itemsize) -> int:
+    halo = max(kh - 1, 0)
+    main = th * wpp * cin * itemsize
+    halo_b = halo * wpp * cin * itemsize
+    gy_b = th * wpp * cout * itemsize
+    gk = kh * kw * cin * cout * 4
+    concat = (th + halo) * wpp * cin * itemsize
+    rolled = (th + halo) * wpp * cin * itemsize
+    return 2 * (main + halo_b + gy_b) + gk + concat + rolled
+
+
+def pick_tile_wgrad(ho, wp, cin, cout, kh, kw, dtype) -> Optional[int]:
+    itemsize = jnp.dtype(dtype).itemsize
+    sl = _sublane(dtype)
+    wpp = -(-wp // sl) * sl
+    halo = max(kh - 1, 1)
+    best = None
+    th = halo
+    while th <= max(ho, halo):
+        if _wgrad_vmem(th, wpp, cin, cout, kh, kw, itemsize) \
+                <= _VMEM_BUDGET:
+            best = th
+        else:
+            break
+        th += halo
+    return best
+
+
+def wgrad_supports(x_shape, k_shape, dtype) -> bool:
+    n, hp, wp, cin = x_shape
+    kh, kw, _, cout = k_shape
+    sl = _sublane(dtype)
+    cin = -(-cin // sl) * sl
+    ho = hp - kh + 1
+    if ho < 1 or wp - kw + 1 < 1:
+        return False
+    return pick_tile_wgrad(ho, wp, cin, cout, kh, kw, dtype) is not None
+
+
+def conv2d_wgrad(x: jnp.ndarray, gy: jnp.ndarray, kh: int, kw: int
+                 ) -> jnp.ndarray:
+    """dL/dkernel of the stride-1 VALID conv as ONE Pallas pass.
+
+    gk[di,dj,c,o] = sum_{n,y,x} X[n,y+di,x+dj,c] gy[n,y,x,o]. Row tiles of
+    gy stream through VMEM alongside the matching (th + kh-1) x rows (the
+    forward's main+halo two-ref trick); each grid step accumulates all
+    kh*kw tap GEMMs — contraction depth th*W, MXU-deep — into a
+    VMEM-resident (kh,kw,Cin,Cout) f32 block. Lane alignment: x lanes roll
+    by dj (the forward's pltpu.roll trick) and gy is ZERO-padded to the
+    lane tile so rolled-garbage columns multiply zero. Returns f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hp, wp, cin0 = x.shape
+    cout = gy.shape[-1]
+    ho, wo = hp - kh + 1, wp - kw + 1
+    dtype = x.dtype
+    sl = _sublane(dtype)
+    wpp = -(-wp // sl) * sl
+    cin = cin0
+    if cin % sl:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, sl - cin % sl)))
+        cin += sl - cin % sl
+    th = pick_tile_wgrad(ho, wp, cin, cout, kh, kw, dtype)
+    if th is None:
+        raise ValueError(f"pallas wgrad: no tile fits VMEM for {x.shape}")
+    halo = kh - 1
+    n_tiles = -(-ho // th)
+    # explicit zero pads — tail rows and lane columns must CONTRIBUTE ZERO
+    # (out-of-bounds pallas blocks are undefined, and the lane roll wraps)
+    x = jnp.pad(x, ((0, 0), (0, n_tiles * th + halo - hp), (0, wpp - wp),
+                    (0, 0)))
+    gy = jnp.pad(gy, ((0, 0), (0, n_tiles * th - ho), (0, wpp - wo),
+                      (0, 0))).astype(dtype)
+
+    def kern(xm, xh, g_ref, gk_ref):
+        rows = jnp.concatenate([xm[0], xh[0]], axis=0) if halo else xm[0]
+        g2 = g_ref[0].reshape(th * wpp, cout)
+        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _zero():
+            gk_ref[...] = jnp.zeros_like(gk_ref)
+
+        for dj in range(kw):
+            xr = pltpu.roll(rows, wpp - dj, 1) if dj else rows
+            for di in range(kh):
+                xs = xr[di:di + th].reshape(th * wpp, cin)
+                gk_ref[di, dj] += jax.lax.dot_general(
+                    xs, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+    in_specs = [pl.BlockSpec((1, th, wpp, cin), lambda b, i: (b, i, 0, 0))]
+    args = [x]
+    if halo:
+        in_specs.append(pl.BlockSpec(
+            (1, halo, wpp, cin),
+            lambda b, i: (b, (i + 1) * (th // halo), 0, 0)))
+        args.append(x)
+    else:
+        def kern(xm, g_ref, gk_ref, _inner=kern):  # noqa: F811
+            _inner(xm, None, g_ref, gk_ref)
+    in_specs.append(pl.BlockSpec((1, th, wpp, cout),
+                                 lambda b, i: (b, i, 0, 0)))
+    args.append(gy)
+
+    gk = pl.pallas_call(
+        kern,
+        grid=(n, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((kh, kw, cin, cout),
+                               lambda b, i: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((kh, kw, cin, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return gk[:, :, :cin0, :]
+
+
+def _taploop_gk(x, gy, kh, kw):
+    """gk as kh*kw strided-slice GEMMs — pure XLA (slice/dot), exact.
+
+    Reads x once per tap: only sane for small kernels (<= ~3x3), which is
+    exactly where conv2d_valid's small shapes route anyway."""
+    n, hp, wp, cin = x.shape
+    ho, wo = hp - kh + 1, wp - kw + 1
+    cout = gy.shape[-1]
+    g2 = gy.reshape(-1, cout)
+    taps = []
+    for di in range(kh):
+        for dj in range(kw):
+            xs = x[:, di:di + ho, dj:dj + wo, :].reshape(-1, cin)
+            taps.append(jax.lax.dot_general(
+                xs, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    return jnp.stack(taps, 0).reshape(kh, kw, cin, cout)
+
+
+def _taploop_gx(gy, kernel):
+    """gx as kh*kw pad+GEMM accumulations — pure XLA, exact."""
+    kh, kw, cin, cout = kernel.shape
+    n, ho, wo, _ = gy.shape
+    hp, wp = ho + kh - 1, wo + kw - 1
+    gx = jnp.zeros((n, hp, wp, cin), jnp.float32)
+    g2 = gy.reshape(-1, cout)
+    for di in range(kh):
+        for dj in range(kw):
+            contrib = jax.lax.dot_general(
+                g2, kernel[di, dj],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ).reshape(n, ho, wo, cin)
+            gx = gx + jnp.pad(
+                contrib, ((0, 0), (di, hp - ho - di), (dj, wp - wo - dj),
+                          (0, 0)))
+    return gx
+
+
 def _bwd(res, gy):
     x, kernel = res
     kh, kw, cin, cout = kernel.shape
-    # dL/dx: full-padded correlation of gy with the spatially-flipped,
-    # io-swapped kernel (standard conv transpose identity)
+    if os.environ.get("CREDIT_CONV_GRAD", "kernel") == "xla":
+        # original XLA conv-grad pair (A/B escape hatch)
+        k_flip = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)
+        gx = jax.lax.conv_general_dilated(
+            gy, k_flip.astype(gy.dtype), window_strides=(1, 1),
+            padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        gk = jax.lax.conv_general_dilated(
+            x.transpose(3, 1, 2, 0),
+            gy.transpose(1, 2, 0, 3).astype(x.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return gx, gk.transpose(1, 2, 0, 3).astype(kernel.dtype)
+
+    # gx: full correlation == stride-1 VALID conv of the padded gy with the
+    # flipped/io-swapped kernel — run the blocked Pallas conv on it
     k_flip = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)  # (kh,kw,Cout,Cin)
-    gx = jax.lax.conv_general_dilated(
-        gy, k_flip.astype(gy.dtype), window_strides=(1, 1),
-        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    # dL/dk[di,dj,c,o] = sum_{n,y,x} X[n, y+di, x+dj, c] gy[n, y, x, o]:
-    # a VALID conv of x (batch as channels) with gy (batch as input chans)
-    gk = jax.lax.conv_general_dilated(
-        x.transpose(3, 1, 2, 0),            # (Cin, Hp, Wp, N)
-        gy.transpose(1, 2, 0, 3).astype(x.dtype),  # (Ho, Wo, N, Cout)
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    gk = gk.transpose(1, 2, 0, 3).astype(kernel.dtype)  # (kh,kw,Cin,Cout)
+    gy_pad = jnp.pad(gy, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1),
+                          (0, 0)))
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and supports(gy_pad.shape, k_flip.shape, gy.dtype) \
+            and min(kh, kw) >= 4:
+        gx = _forward(gy_pad, k_flip.astype(gy.dtype)).astype(x.dtype)
+    else:
+        # small kernels: the blocked kernel crashes Mosaic on several
+        # flagship small shapes (see im2col_conv) — tap-loop instead
+        gx = _taploop_gx(gy, kernel).astype(x.dtype)
+
+    if on_tpu and kh * kw > 9 and wgrad_supports(x.shape, kernel.shape,
+                                                 x.dtype):
+        gk = conv2d_wgrad(x, gy, kh, kw).astype(kernel.dtype)
+    else:
+        gk = _taploop_gk(x, gy, kh, kw).astype(kernel.dtype)
     return gx, gk
 
 

@@ -22,6 +22,7 @@ inference inside a conv-emitter-free graph.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +198,222 @@ def _xla_ff(x2d, g, b, w1, b1, w2, b2, post_norm=False):
     return x2d + o.astype(x2d.dtype)
 
 
+# ---------------------------------------------------------------------------
+# In-kernel BACKWARD (round 5): the XLA-recompute VJP re-materializes every
+# 4C-wide intermediate in HBM (h1, gelu, their gradients — the dominant
+# traffic term of the training step, docs/PERF.md round-4 attribution).
+# This kernel recomputes them in VMEM from the saved x tile and streams
+# only x, ct in / dx out, accumulating the weight/bias/LN-parameter grads
+# across grid steps in VMEM-resident output blocks (the TPU grid is
+# sequential, so read-modify-write accumulation is well-defined).
+
+_SQRT1_2 = np.float32(1.0 / np.sqrt(2.0))
+_INV_SQRT_2PI = np.float32(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def _ff_bwd_kernel(x_ref, ct_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                   b2_ref, dx_ref, dg_ref, db_ref, dw1_ref, db1_ref,
+                   dw2_ref, db2_ref, *, post_norm: bool, grid_dims: int):
+    from jax.experimental import pallas as pl
+
+    first = pl.program_id(0) == 0
+    for d in range(1, grid_dims):
+        first &= pl.program_id(d) == 0
+
+    @pl.when(first)
+    def _zero():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    xs = x_ref[...]
+    x = xs.reshape(-1, xs.shape[-1])
+    ct = ct_ref[...].reshape(x.shape).astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    cdim = x.shape[-1]
+    inv_c = np.float32(1.0) / cdim
+
+    def mxu(a, bmat, contract):
+        return jax.lax.dot_general(
+            a.astype(x.dtype), bmat,
+            dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    if post_norm:
+        y = xf  # fc1 input IS x
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        xhat = (xf - mean) * rstd
+        y = xhat * g + b_ref[...].astype(jnp.float32)
+    # recompute the forward chain in VMEM
+    h1 = mxu(y, w1_ref[...], (((1,), (0,)))) \
+        + b1_ref[...].astype(jnp.float32)
+    phi = 0.5 * (1.0 + _erf(h1 * _SQRT1_2))          # Phi(h1)
+    a = h1 * phi                                      # gelu(h1)
+
+    if post_norm:
+        # out = x + LN(o2): push ct through the LN first. b2 is per-channel
+        # so it changes the LN statistics — it must be in the recompute.
+        o2 = mxu(a, w2_ref[...], (((1,), (0,)))) \
+            + b2_ref[...].astype(jnp.float32)
+        mean_o = jnp.mean(o2, axis=-1, keepdims=True)
+        var_o = jnp.mean((o2 - mean_o) ** 2, axis=-1, keepdims=True)
+        rstd_o = jax.lax.rsqrt(var_o + 1e-5)
+        ohat = (o2 - mean_o) * rstd_o
+        dg_ref[...] += jnp.sum(ct * ohat, axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(ct, axis=0, keepdims=True)
+        dohat = ct * g
+        do2 = rstd_o * (
+            dohat - jnp.sum(dohat, -1, keepdims=True) * inv_c
+            - ohat * (jnp.sum(dohat * ohat, -1, keepdims=True) * inv_c))
+    else:
+        do2 = ct
+    db2_ref[...] += jnp.sum(do2, axis=0, keepdims=True)
+    dw2_ref[...] += mxu(a, do2.astype(x.dtype), (((0,), (0,))))
+    da = mxu(do2, w2_ref[...], (((1,), (1,))))       # (M, hidden)
+    pdf = jnp.exp(-0.5 * h1 * h1) * _INV_SQRT_2PI
+    dh1 = da * (phi + h1 * pdf)
+    db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+    dw1_ref[...] += mxu(y, dh1.astype(x.dtype), (((0,), (0,))))
+    dy = mxu(dh1, w1_ref[...], (((1,), (1,))))       # (M, C)
+    if post_norm:
+        dx = ct + dy
+    else:
+        dg_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+        dxhat = dy * g
+        dx_ln = rstd * (
+            dxhat - jnp.sum(dxhat, -1, keepdims=True) * inv_c
+            - xhat * (jnp.sum(dxhat * xhat, -1, keepdims=True) * inv_c))
+        dx = ct + dx_ln
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(xs.shape)
+
+
+def _vmem_use_bwd(tm: int, c: int, hidden: int, itemsize: int) -> int:
+    weights = 2 * c * hidden * itemsize          # w1, w2 tiles
+    accums = 2 * c * hidden * 4 + 4 * (c + hidden)  # f32 dw1/dw2 + vectors
+    acts = (tm * (2 * c) * itemsize * 2          # x/ct in + dx out (dbuf)
+            + tm * (3 * hidden + 6 * c) * 4)     # f32 h1/phi/da + LN temps
+    return weights + accums + 2 * acts
+
+
+def _pick_rows_bwd(h: int, w: int, c: int, hidden: int, itemsize: int):
+    best = None
+    for th in range(min(h, max(1, _TM_MAX // max(w, 1))), 0, -1):
+        if _vmem_use_bwd(th * w, c, hidden, itemsize) >= _VMEM_BUDGET * 2:
+            continue
+        if best is None:
+            best = th
+        if h % th == 0:
+            return th
+    return best
+
+
+def _pick_tile_bwd(m: int, c: int, hidden: int, itemsize: int):
+    sub = 16 if itemsize == 2 else 8
+    cap = min(_TM_MAX, max(sub, (m // sub) * sub))
+    best = None
+    for tm in range(cap, sub - 1, -sub):
+        if _vmem_use_bwd(tm, c, hidden, itemsize) >= _VMEM_BUDGET * 2:
+            continue
+        if best is None:
+            best = tm
+        if m % tm == 0:
+            return tm
+    return best
+
+
+def bwd_fits_shape(shape, hidden: int, itemsize: int = 2) -> bool:
+    c = shape[-1]
+    if c % 128 or hidden % 128:
+        return False
+    if len(shape) == 4:
+        return _pick_rows_bwd(shape[1], shape[2], c, hidden,
+                              itemsize) is not None
+    m = 1
+    for d in shape[:-1]:
+        m *= d
+    return _pick_tile_bwd(m, c, hidden, itemsize) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "post_norm"))
+def fused_ff_bwd(x, ct, g, b, w1, b1, w2, b2, interpret=None,
+                 post_norm: bool = False):
+    """Backward of the fused FF block, one VMEM pass.
+
+    x, ct: (M, C) or (B, H, W, C). Returns
+    (dx, dg, db, dw1, db1, dw2, db2) with parameter grads in f32.
+    """
+    if interpret is None:
+        interpret = not on_tpu()
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    c = x.shape[-1]
+    hidden = w1.shape[1]
+    itemsize = x.dtype.itemsize
+
+    def row(v):
+        return v.reshape(1, -1).astype(x.dtype)
+
+    if x.ndim == 4:
+        bsz, h, w, _ = x.shape
+        th = _pick_rows_bwd(h, w, c, hidden, itemsize)
+        if th is None:
+            raise ValueError(f"no bwd row tile for shape {x.shape}")
+        grid = (bsz, pl.cdiv(h, th))
+        tile = pl.BlockSpec((1, th, w, c), lambda bi, hi: (bi, hi, 0, 0))
+        acc = lambda *shape: pl.BlockSpec(shape,
+                                          lambda bi, hi: (0,) * len(shape))
+        grid_dims = 2
+        out_x_shape = x.shape
+    else:
+        m, _ = x.shape
+        tm = _pick_tile_bwd(m, c, hidden, itemsize)
+        if tm is None:
+            raise ValueError(f"no bwd tile for M={m}")
+        grid = (pl.cdiv(m, tm),)
+        tile = pl.BlockSpec((tm, c), lambda i: (i, 0))
+        acc = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+        grid_dims = 1
+        out_x_shape = x.shape
+
+    kernel = functools.partial(_ff_bwd_kernel, post_norm=post_norm,
+                               grid_dims=grid_dims)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile, tile,
+                  acc(1, c), acc(1, c),
+                  acc(c, hidden), acc(1, hidden), acc(hidden, c),
+                  acc(1, c)],
+        out_specs=[tile,
+                   acc(1, c), acc(1, c),
+                   acc(c, hidden), acc(1, hidden), acc(hidden, c),
+                   acc(1, c)],
+        out_shape=[jax.ShapeDtypeStruct(out_x_shape, x.dtype),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, hidden), f32),
+                   jax.ShapeDtypeStruct((1, hidden), f32),
+                   jax.ShapeDtypeStruct((hidden, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32)],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(x, ct.astype(x.dtype), row(g), row(b), w1.astype(x.dtype), row(b1),
+      w2.astype(x.dtype), row(b2))
+    dx, dg, db, dw1, db1, dw2, db2 = outs
+    return (dx, dg[0], db[0], dw1, db1[0], dw2, db2[0])
+
+
 def _ff_auto(x, g, b, w1, b1, w2, b2, post_norm):
     """Pick the GSPMD-partitioned form under a multi-device backend (4-D
     activations only — the model path), the plain kernel otherwise."""
@@ -223,6 +440,16 @@ def _ff_fwd(x2d, g, b, w1, b1, w2, b2, post_norm):
 
 
 def _ff_bwd(post_norm, res, ct):
+    x, g, b, w1, b1, w2, b2 = res
+    hidden = w1.shape[-1]
+    if (os.environ.get("CREDIT_FF_BWD", "kernel") == "kernel" and on_tpu()
+            and bwd_fits_shape(x.shape, hidden, x.dtype.itemsize)):
+        dx, dg, db, dw1, db1, dw2, db2 = fused_ff_bwd(
+            x, ct, g, b, w1, b1, w2, b2, post_norm=post_norm)
+        return (dx.astype(x.dtype), dg.astype(g.dtype), db.astype(b.dtype),
+                dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    # fallback: XLA recompute (exact gradient of the reference composition)
     _, vjp = jax.vjp(lambda *a: _xla_ff(*a, post_norm=post_norm), *res)
     return vjp(ct)
 

@@ -122,3 +122,96 @@ def test_model_pallas_conv_parity():
     out = np.asarray(model2.apply(v, x), np.float32)
     err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
     assert err < 5e-3, err  # pallas FF accumulates LN/GELU in f32
+
+
+class TestConvEmitterFreeBackward:
+    """Round 5: conv2d_valid's VJP no longer lowers to XLA conv ops (they
+    paid the slow-emitter tax in pallas training graphs). gx runs the
+    blocked Pallas conv on the padded cotangent; gk runs the Pallas
+    weight-grad kernel (large kernels) or strided-slice GEMMs (small).
+    All paths must match the XLA conv-grad reference exactly."""
+
+    def _ref_grads(self, x, kernel, gy):
+        kh, kw, cin, cout = kernel.shape
+        k_flip = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)
+        gx = jax.lax.conv_general_dilated(
+            gy, k_flip, window_strides=(1, 1),
+            padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        gk = jax.lax.conv_general_dilated(
+            x.transpose(3, 1, 2, 0), gy.transpose(1, 2, 0, 3),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return gx, gk.transpose(1, 2, 0, 3)
+
+    @pytest.mark.parametrize("kh,kw,cin,cout,hp,wp", [
+        (8, 8, 16, 24, 21, 19),   # large kernel -> wgrad pallas kernel
+        (3, 3, 8, 16, 14, 18),    # small -> tap-loop
+        (2, 2, 8, 8, 10, 12),
+        (1, 1, 8, 8, 9, 11),
+    ])
+    def test_wgrad_kernel_and_taploop_match_reference(self, kh, kw, cin,
+                                                      cout, hp, wp):
+        from credit_tpu.ops import pallas_conv as pc
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((2, hp, wp, cin)) * 0.3,
+                        jnp.float32)
+        gy = jnp.asarray(
+            rng.standard_normal((2, hp - kh + 1, wp - kw + 1, cout)) * 0.3,
+            jnp.float32)
+        kernel = jnp.asarray(rng.standard_normal((kh, kw, cin, cout)) * 0.1,
+                             jnp.float32)
+        _, gk_ref = self._ref_grads(x, kernel, gy)
+
+        gk_kernel = pc.conv2d_wgrad(x, gy, kh, kw)
+        np.testing.assert_allclose(np.asarray(gk_kernel),
+                                   np.asarray(gk_ref), rtol=2e-4, atol=2e-4)
+        gk_tap = pc._taploop_gk(x, gy, kh, kw)
+        np.testing.assert_allclose(np.asarray(gk_tap), np.asarray(gk_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("kh,kw", [(3, 3), (2, 2), (8, 8)])
+    def test_taploop_gx_matches_reference(self, kh, kw):
+        from credit_tpu.ops import pallas_conv as pc
+
+        rng = np.random.default_rng(5)
+        cin, cout, hp, wp = 8, 12, 17, 15
+        x = jnp.asarray(rng.standard_normal((1, hp, wp, cin)) * 0.3,
+                        jnp.float32)
+        gy = jnp.asarray(
+            rng.standard_normal((1, hp - kh + 1, wp - kw + 1, cout)) * 0.3,
+            jnp.float32)
+        kernel = jnp.asarray(rng.standard_normal((kh, kw, cin, cout)) * 0.1,
+                             jnp.float32)
+        gx_ref, _ = self._ref_grads(x, kernel, gy)
+        gx = pc._taploop_gx(gy, kernel)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_conv2d_valid_vjp_end_to_end(self):
+        """jax.grad through conv2d_valid (the new conv-free backward) vs
+        jax.grad through lax.conv — both operands."""
+        from credit_tpu.ops import pallas_conv as pc
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((1, 15, 13, 8)) * 0.3,
+                        jnp.float32)
+        kernel = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1,
+                             jnp.float32)
+
+        def loss_ours(x_, k_):
+            return jnp.sum(pc.conv2d_valid(x_, k_) ** 2)
+
+        def loss_ref(x_, k_):
+            y = jax.lax.conv_general_dilated(
+                x_, k_, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y ** 2)
+
+        gx, gk = jax.grad(loss_ours, argnums=(0, 1))(x, kernel)
+        gx_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(x, kernel)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r),
+                                   rtol=1e-4, atol=1e-4)

@@ -233,3 +233,77 @@ def test_fused_ff_gspmd_sharded_weights_parity():
         out = jax.jit(lambda *a: pallas_ff.fused_ff_gspmd(*a, False))(*args)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5,
                                    atol=2e-5)
+
+
+@pytest.mark.parametrize("post_norm", [False, True])
+@pytest.mark.parametrize("form", ["2d", "4d"])
+def test_fused_ff_bwd_kernel_matches_xla_vjp(post_norm, form):
+    """The in-kernel backward (round 5 — the conv-emitter-free BACKWARDS
+    lever) must match the gradient of the XLA composition for every input:
+    dx, LN params, both GEMMs' weights and biases, pre- and post-norm."""
+    import numpy as np
+
+    from credit_tpu.ops import pallas_ff
+
+    c, hid = 128, 256
+    rng = np.random.default_rng(7)
+    if form == "2d":
+        x = jnp.asarray(rng.standard_normal((48, c)) * 0.4, jnp.float32)
+    else:
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, c)) * 0.4,
+                        jnp.float32)
+    ct = jnp.asarray(rng.standard_normal(x.shape) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, hid)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((hid,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hid, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((c,)) * 0.05, jnp.float32)
+
+    def ref_fn(x_, g_, b_, w1_, b1_, w2_, b2_):
+        x2 = x_.reshape(-1, c)
+        return pallas_ff._xla_ff(x2, g_, b_, w1_, b1_, w2_, b2_,
+                                 post_norm=post_norm).reshape(x_.shape)
+
+    _, vjp = jax.vjp(ref_fn, x, g, b, w1, b1, w2, b2)
+    refs = vjp(ct)
+
+    outs = pallas_ff.fused_ff_bwd(x, ct, g, b, w1, b1, w2, b2,
+                                  interpret=True, post_norm=post_norm)
+    names = ["dx", "dg", "db", "dw1", "db1", "dw2", "db2"]
+    for name, got, want in zip(names, outs, refs):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_fused_ff_diff_bwd_dispatch_fallback(monkeypatch):
+    """Off-TPU the custom VJP falls back to the XLA recompute (exact) —
+    and CREDIT_FF_BWD=xla forces it everywhere."""
+    import numpy as np
+
+    from credit_tpu.ops import pallas_ff
+
+    c, hid = 128, 256
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((32, c)) * 0.4, jnp.float32)
+    g = jnp.ones((c,), jnp.float32)
+    b = jnp.zeros((c,), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, hid)) * 0.05, jnp.float32)
+    b1 = jnp.zeros((hid,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hid, c)) * 0.05, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+
+    def loss(fn):
+        def inner(*a):
+            return jnp.sum(fn(*a, False) ** 2)
+        return inner
+
+    monkeypatch.setenv("CREDIT_FF_BWD", "xla")
+    ref = jax.grad(
+        lambda *a: jnp.sum(pallas_ff._xla_ff(*a, post_norm=False) ** 2),
+        argnums=(0, 3, 5))(x, g, b, w1, b1, w2, b2)
+    got = jax.grad(loss(pallas_ff.fused_ff_diff),
+                   argnums=(0, 3, 5))(x, g, b, w1, b1, w2, b2)
+    for a, bb in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-5, atol=1e-5)

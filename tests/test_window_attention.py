@@ -1,6 +1,7 @@
 """Window partition/attention unit tests (reference rearrange semantics:
 credit/models/wxformer/crossformer.py:348-351)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,3 +101,32 @@ def test_bf16_attention_close_to_f32(rng):
     # attention outputs are O(1); bf16 relative precision ~2^-8
     np.testing.assert_allclose(bf, f32, rtol=0, atol=0.05)
     assert np.abs(bf - f32).mean() < 0.01
+
+
+def test_vpu_tiny_t_matches_einsum_form(rng):
+    """T<=32 dispatches to the VPU broadcast-multiply-reduce path (the
+    measured 3-6x win for long/dilated attention at T=4..25); it must match
+    the einsum formulation exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from credit_tpu.ops import window_attention as wa
+
+    for t, heads, dh in [(4, 16, 32), (25, 8, 32)]:
+        inner = heads * dh
+        q = jnp.asarray(rng.standard_normal((1, 6, t, inner)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 6, t, inner)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 6, t, inner)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((t, t)), jnp.float32)
+        assert t <= wa._VPU_MAX_T
+        out = wa.window_attention(q, k, v, bias, heads)
+
+        # einsum reference (the big-T formulation, inlined)
+        qs = (q * dh ** -0.5).reshape(1, 6, t, heads, dh)
+        ks = k.reshape(1, 6, t, heads, dh)
+        vs = v.reshape(1, 6, t, heads, dh)
+        sim = jnp.einsum("bnihd,bnjhd->bnhij", qs, ks) + bias
+        ref = jnp.einsum("bnhij,bnjhd->bnihd",
+                         jax.nn.softmax(sim, -1), vs).reshape(1, 6, t, inner)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

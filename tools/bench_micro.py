@@ -118,6 +118,33 @@ def attn_chain_base(wqkv, wout, bias, heads, variant, x):
         from credit_tpu.ops.pallas_attention import fused_window_attention
 
         out = fused_window_attention(qh, kh, vh, bias, heads)
+    elif variant == "vpu":
+        # tiny-T reformulation: scores as broadcast-multiply-reduce (VPU
+        # elementwise) instead of tens of thousands of latency-bound tiny
+        # batched matmuls. Only sane when t*t*dh per window is small.
+        def tr(z):
+            return z.reshape(b, n, t, heads, dh)
+        q, k, v = tr(qh) * (dh ** -0.5), tr(kh), tr(vh)
+        sim = (q[:, :, :, None] * k[:, :, None, :, :]).sum(-1)  # (b,n,i,j,h)
+        sim = sim + bias[None, None, :, :, None].astype(sim.dtype)
+        attn = jax.nn.softmax(sim, axis=3)
+        o = (attn[..., None] * v[:, :, None]).sum(3)            # (b,n,i,h,d)
+        out = o.reshape(b, n, t, inner)
+    elif variant == "flat3d":
+        # flatten the batch dims so XLA sees ONE 3-D batched matmul
+        def tr(z):
+            return (z.reshape(b * n, t, heads, dh)
+                    .transpose(0, 2, 1, 3).reshape(b * n * heads, t, dh))
+        q, k, v = tr(qh) * (dh ** -0.5), tr(kh), tr(vh)
+        sim = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16)
+        attn = jax.nn.softmax(sim + bias.astype(sim.dtype), axis=-1)
+        o = jax.lax.dot_general(
+            attn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(v.dtype)
+        out = (o.reshape(b * n, heads, t, dh).transpose(0, 2, 1, 3)
+               .reshape(b, n, t, inner))
     else:
         raise ValueError(variant)
     y = jnp.matmul(out.reshape(-1, inner), wout,
@@ -136,8 +163,8 @@ def bench_attn():
         ("stage1-long", 2880, 25, 256, 8),
         ("stage2-long", 4500, 4, 512, 16),
     ]
-    variants = ("einsum", "grouped") if "-v" not in sys.argv else (
-        "einsum", "pretranspose", "headmajor", "grouped")
+    variants = ("einsum", "vpu", "flat3d") if "-v" not in sys.argv else (
+        "einsum", "pretranspose", "headmajor", "grouped", "vpu", "flat3d")
     for name, n, t, c, heads in cases:
         inner = heads * 32
         x = (jax.random.normal(key, (1, n, t, c)) * 0.1).astype(jnp.bfloat16)
