@@ -741,7 +741,10 @@ def orchestrate(bf16: bool, batch: int, pallas: bool, selectors):
         all_metrics += run_stage("fuxi", flags, remaining() - 360)
     skip_train = os.environ.get("BENCH_SKIP_TRAIN", "") == "1"
     if "train" in want and not skip_train and remaining() > 420:
-        all_metrics += run_stage("train", flags, remaining() - 60)
+        # the shipped training default is the pallas backward-kernel path
+        # (round 5: 537 -> 440 ms/step); --xla pins the XLA baseline
+        tflags = flags + (["--pallas"] if pallas else [])
+        all_metrics += run_stage("train", tflags, remaining() - 60)
 
     # headline re-print: prefer the final flagship line, then its
     # provisional one, then FuXi, then 1-deg — never end with nothing

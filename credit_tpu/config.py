@@ -120,6 +120,24 @@ def validate(conf: dict, require_model: bool = True) -> None:
         for k in ("tensor", "domain"):
             if k in p and p[k] not in (None, "none") and int(p[k]) < 1:
                 errors.append(f"trainer.parallelism.{k} must be >= 1")
+        if p.get("halo", "gspmd") not in ("gspmd", "explicit"):
+            errors.append("trainer.parallelism.halo must be 'gspmd' or "
+                          "'explicit'")
+        # flatten_optimizer concatenates the AdamW moments into ONE flat
+        # vector — it has no param-shaped axes for ZeRO to shard, so on a
+        # dp>1 mesh the moments would silently replicate (2x param bytes
+        # per chip). The flag exists to fit the remote-compile tunnel's
+        # module-size limit on ONE chip (docs/PERF.md); reject the
+        # combination instead of wasting pod HBM.
+        data = p.get("data", "none")
+        if (t.get("flatten_optimizer", False)
+                and data not in (None, "none", 1) and int(data) > 1):
+            errors.append(
+                "trainer.flatten_optimizer is incompatible with "
+                "parallelism.data > 1: the flat moment vector cannot be "
+                "ZeRO-sharded like the params (it would replicate, costing "
+                "2x param bytes per chip). Unset flatten_optimizer on "
+                "multi-chip meshes.")
     for k in ("learning_rate",):
         if k in t and float(t[k]) <= 0:
             errors.append(f"trainer.{k} must be positive")

@@ -119,11 +119,15 @@ class CrossFormer(BaseModel):
         from credit_tpu.ops import conv as conv_ops
         from credit_tpu.ops import pallas_ff
 
-        # conv kernels are NOT GSPMD-partitioned (unlike the fused FF), so
-        # 'auto' stays single-chip
+        # 'auto' engages on a single chip, or under a mesh when the caller
+        # provides the explicit-halo context (ops/conv.explicit_halo: conv
+        # paths run shard_map halo rings, sharded-parity-tested) — and in
+        # TRAIN mode too (round 5: the conv-grad + FF-backward kernels
+        # measured 537 -> 440 ms/step on the flagship, docs/PERF.md)
         pallas_on = ((self.pallas_conv == "force"
                       or (self.pallas_conv == "auto"
-                          and pallas_ff.single_chip_tpu() and not train))
+                          and (pallas_ff.single_chip_tpu()
+                               or conv_ops.halo_mesh_active())))
                      and not self.is_initializing())
         with conv_ops.pallas_convs(pallas_on):
             return self._forward(x, train)

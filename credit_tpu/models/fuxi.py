@@ -148,9 +148,12 @@ class Fuxi(BaseModel):
         from credit_tpu.ops import conv as conv_ops
         from credit_tpu.ops import pallas_ff
 
+        # same gate as CrossFormer: single chip OR explicit-halo mesh, and
+        # train included (round 5 — see crossformer.py)
         pallas_on = ((self.pallas_conv == "force"
                       or (self.pallas_conv == "auto"
-                          and pallas_ff.single_chip_tpu() and not train))
+                          and (pallas_ff.single_chip_tpu()
+                               or conv_ops.halo_mesh_active())))
                      and not self.is_initializing())
         with conv_ops.pallas_convs(pallas_on):
             return self._forward(x, train)

@@ -369,12 +369,13 @@ class FeedForward(nn.Module):
         c = x.shape[-1]
         hidden = self.dim * self.mult
         x = x.astype(self.dtype)
-        # 'force' also applies in TRAIN mode: fused_ff_diff carries an exact
-        # XLA-recompute VJP (gradients match the unfused composition);
-        # 'auto' stays inference-only pending a measured training win
+        # 'auto' applies in TRAIN mode too (round 5): fused_ff_diff's VJP
+        # is the in-kernel Pallas backward on TPU (exact-parity-tested,
+        # XLA-recompute fallback elsewhere), and together with the conv-
+        # grad kernels the measured flagship step is 537 -> 440 ms
+        # (docs/PERF.md round-5 training table)
         fused = ((self.fuse == "force"
-                  or (self.fuse == "auto" and pallas_ff.fuse_ok_auto()
-                      and not train))
+                  or (self.fuse == "auto" and pallas_ff.fuse_ok_auto()))
                  and not self.is_initializing()
                  and pallas_ff.ff_fits_shape(x.shape, hidden,
                                              x.dtype.itemsize))

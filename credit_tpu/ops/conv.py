@@ -45,6 +45,122 @@ def pallas_convs_active() -> bool:
     return bool(_PALLAS_CONVS.get())
 
 
+# When set to (mesh, axis), size-preserving stride-1 convs route through an
+# EXPLICIT shard_map halo exchange (parallel/halo.py ppermute ring) instead
+# of GSPMD's auto-inserted halos. The explicit ring compiles to 3x fewer
+# collective-permutes than GSPMD's per-segment permutes (docs/PERF.md halo
+# table); production default stays GSPMD until the advantage is confirmed
+# on real multi-chip ICI. Enabled from config via trainer.parallelism:
+# {halo: explicit} (reference analogue: credit/domain_parallel/
+# halo_exchange.py:20 — the reference's domain path is ALWAYS explicit).
+_EXPLICIT_HALO = contextvars.ContextVar("explicit_halo", default=None)
+
+
+@contextlib.contextmanager
+def explicit_halo(mesh, axis: str = "domain"):
+    """Trace-time context: lat-sharded stride-1 convs under `mesh` use the
+    explicit ppermute halo ring. No-op when the mesh has no (>1) `axis`."""
+    val = None
+    if mesh is not None and mesh.shape.get(axis, 1) > 1:
+        val = (mesh, axis)
+    tok = _EXPLICIT_HALO.set(val)
+    try:
+        yield
+    finally:
+        _EXPLICIT_HALO.reset(tok)
+
+
+def halo_mesh_active() -> bool:
+    """True inside an explicit_halo(mesh) region — i.e. conv2d and
+    conv_transpose2d compose with the lat-sharded mesh via shard_map halo
+    rings, so the conv-emitter-free pallas graph stays correct AND local
+    per shard (no all-gathers around the opaque pallas calls). The model
+    'auto' gates key off this to lift their single-chip restriction."""
+    return _EXPLICIT_HALO.get() is not None
+
+
+def _halo_shard_map(x, kernel, halo: int, local_fn):
+    """Run `local_fn(block, kernel)` per lat shard under the explicit-halo
+    mesh, with the block pre-extended by `halo` neighbor rows on each side
+    (zeros at the poles — identical to global zero padding; the ppermute
+    ring's custom VJP routes edge gradients back to the neighbor). Returns
+    None when the lat dim does not divide the mesh (caller falls back to
+    GSPMD auto-sharding)."""
+    mesh, axis = _EXPLICIT_HALO.get()
+    n = int(mesh.shape[axis])
+    if x.ndim != 4 or x.shape[1] % n != 0 or (x.shape[1] // n) < max(halo, 1):
+        return None
+    import jax
+
+    from jax.sharding import PartitionSpec as P
+
+    from credit_tpu.parallel.halo import halo_exchange
+
+    dp = int(mesh.shape.get("dp", 1))
+    batch_axis = "dp" if (dp > 1 and x.shape[0] % dp == 0) else None
+    spec = P(batch_axis, axis, None, None)
+
+    def local(xb, kern):
+        xe = halo_exchange(xb, halo, axis) if halo else xb
+        return local_fn(xe, kern)
+
+    # check_vma off: pallas_call inside shard_map does not annotate its
+    # out_shape with varying-manual-axes info (standard for pallas-under-
+    # shard_map; grads still transpose correctly — conservative psums)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec, P()),
+                         out_specs=spec, check_vma=False)(x, kernel)
+
+
+def _explicit_halo_conv(x, kernel, bias, ph: int, pw: int, accum_dtype,
+                        use_pallas: bool):
+    """Size-preserving (2*ph == kh-1) stride-1 conv as shard_map over the
+    domain axis: a lat-VALID/lon-padded local conv on the halo-extended
+    block — exact vs the global conv. The local op is the pallas
+    conv-emitter-free form inside a pallas_convs region, lax otherwise
+    (the ICI-measurement toggle, trainer.parallelism.halo)."""
+
+    def local(xe, kern):
+        if use_pallas:
+            xp = jnp.pad(xe, ((0, 0), (0, 0), (pw, pw), (0, 0))) \
+                if pw else xe
+            out = _pallas_valid_conv(xp, kern, None, accum_dtype)
+            if out is not None:
+                return out
+        return lax.conv_general_dilated(
+            xe, kern.astype(xe.dtype), (1, 1), [(0, 0), (pw, pw)],
+            dimension_numbers=_DN,
+            preferred_element_type=_accum(xe, accum_dtype)).astype(xe.dtype)
+
+    out = _halo_shard_map(x, kernel, ph, local)
+    if out is not None and bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _mesh_conv2d_s2d(x, kernel, bias, ph: int, pw: int, accum_dtype):
+    """Even-kernel stride-2 embed under the explicit-halo mesh: each lat
+    shard's L/2 output rows read input rows [iL - ph, iL + L - 1 + ph]
+    (kh = 2ph + 2), i.e. a symmetric ph halo; the halo-extended block IS
+    the lat-padded input, so the local s2d runs with lat pad 0. Phases
+    align because shard starts (iL) are even. Requires the local block
+    even-height and ho == h//2 (the torch embed geometry)."""
+    n_sh = int(_EXPLICIT_HALO.get()[0].shape[_EXPLICIT_HALO.get()[1]])
+    h = x.shape[1]
+    kh = kernel.shape[0]
+    if (h % n_sh or (h // n_sh) % 2 or ph != (kh - 2) // 2
+            or (h + 2 * ph - kh) // 2 + 1 != h // 2):
+        return None
+
+    def local(xe, kern):
+        # the halo rows stand in for the lat padding -> lat pad 0 here
+        return _conv2d_s2d(xe, kern, None, (0, pw), accum_dtype)
+
+    out = _halo_shard_map(x, kernel, ph, local)
+    if out is not None and bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def _pallas_valid_conv(x, kernel, bias, accum_dtype):
     """Stride-1 VALID conv with the conv emitter taken out of the graph:
     1x1 -> GEMM; small kernels -> im2col shift-GEMM (several small-kernel
@@ -102,6 +218,15 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
     use_pallas = _PALLAS_CONVS.get()
     if not isinstance(padding, str):
         ph, pw = _pair(padding)
+        # explicit domain-halo path (trainer.parallelism: {halo: explicit}):
+        # only size-preserving stride-1 convs carry a lat halo; everything
+        # else stays on GSPMD auto-sharding
+        if (_EXPLICIT_HALO.get() is not None and s == (1, 1) and ph > 0
+                and 2 * ph == kh - 1 and x.ndim == 4):
+            out = _explicit_halo_conv(x, kernel, bias, ph, pw, accum_dtype,
+                                      use_pallas)
+            if out is not None:
+                return out
         # under pallas mode the s2d rewrite applies to ALL even-kernel
         # stride-2 convs (not just kh >= 8): the resulting stride-1 conv
         # is what the Pallas kernel / GEMM form needs. Odd padded dims are
@@ -113,6 +238,11 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=1,
                 and (x.shape[2] + 2 * pw) % 2 == 0)
         if (s == (2, 2) and kh % 2 == 0 and kw % 2 == 0
                 and (kh >= 8 or use_pallas) and (even or use_pallas)):
+            if (_EXPLICIT_HALO.get() is not None and use_pallas
+                    and x.ndim == 4):
+                out = _mesh_conv2d_s2d(x, kernel, bias, ph, pw, accum_dtype)
+                if out is not None:
+                    return out
             return _conv2d_s2d(x, kernel, bias, (ph, pw), accum_dtype)
         if use_pallas and s == (1, 1):
             xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0))) \
@@ -212,6 +342,27 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, stride=2,
     ph, pw = _pair(padding)
     kh, kw = kernel.shape[0], kernel.shape[1]
     if s == (2, 2) and kh == 2 * ph + 2 and kw == 2 * pw + 2:
+        if (_EXPLICIT_HALO.get() is not None and _PALLAS_CONVS.get()
+                and x.ndim == 4):
+            # explicit-halo mesh: the d2s phase conv's lat window spans
+            # [dh0, dh1] input rows (symmetric for this k = 2p+2 family;
+            # k=2/p=0 needs none, k=4/p=1 needs 1) — shard_map with that
+            # halo keeps the pallas phase conv local per lat shard
+            taps_h = _phase_taps(kh, ph)
+            dh = [d for lst in taps_h for d, _ in lst]
+            if max(dh) == -min(dh) or (max(dh) == 0 and min(dh) == 0):
+                halo = max(dh)
+
+                def local(xe, kern):
+                    return _conv_transpose2d_d2s(xe, kern, None, (ph, pw),
+                                                 accum_dtype,
+                                                 lat_prepadded=True)
+
+                out = _halo_shard_map(x, kernel, halo, local)
+                if out is not None:
+                    if bias is not None:
+                        out = out + bias.astype(out.dtype)
+                    return out
         return _conv_transpose2d_d2s(x, kernel, bias, (ph, pw), accum_dtype)
     k_flip = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
     out = lax.conv_general_dilated(
@@ -247,8 +398,13 @@ def _phase_taps(k: int, p: int):
     return taps
 
 
-def _conv_transpose2d_d2s(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
-    """Stride-2 transpose as phase conv + depth-to-space (see conv_transpose2d)."""
+def _conv_transpose2d_d2s(x, kernel, bias, pad: Tuple[int, int], accum_dtype,
+                          lat_prepadded: bool = False):
+    """Stride-2 transpose as phase conv + depth-to-space (see conv_transpose2d).
+
+    lat_prepadded: the caller already extended the lat dim by the phase
+    window's (dh1 - dh0) rows (the explicit-halo shard_map path) — skip the
+    lat zero-pad and size the d2s output from the interior rows."""
     n, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
     taps_h = _phase_taps(kh, pad[0])
@@ -257,6 +413,8 @@ def _conv_transpose2d_d2s(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
     dw = [d for lst in taps_w for d, _ in lst]
     dh0, dh1 = min(dh), max(dh)
     dw0, dw1 = min(dw), max(dw)
+    if lat_prepadded:
+        h = h - (dh1 - dh0)
     # phase-stacked kernel: (window_h, window_w, cin, 4 * cout), phase block
     # (r, s) holds W[u_h, u_w] at window position (d_h - dh0, d_w - dw0)
     zero = jnp.zeros((cin, cout), kernel.dtype)
@@ -275,7 +433,8 @@ def _conv_transpose2d_d2s(x, kernel, bias, pad: Tuple[int, int], accum_dtype):
             cols.append(jnp.concatenate(blocks, axis=-1))
         rows.append(jnp.stack(cols, axis=0))
     k2 = jnp.stack(rows, axis=0)  # (wh, ww, cin, 4*cout)
-    xp = jnp.pad(x, ((0, 0), (-dh0, dh1), (-dw0, dw1), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (0, 0) if lat_prepadded else (-dh0, dh1),
+                     (-dw0, dw1), (0, 0)))
     y = None
     if _PALLAS_CONVS.get():
         y = _pallas_valid_conv(xp, k2, None, accum_dtype)

@@ -210,7 +210,7 @@ def _wgrad_vmem(th, wpp, cin, cout, kh, kw, itemsize) -> int:
     gy_b = th * wpp * cout * itemsize
     gk = kh * kw * cin * cout * 4
     concat = (th + halo) * wpp * cin * itemsize
-    rolled = (th + halo) * wpp * cin * itemsize
+    rolled = th * wpp * cout * 4  # f32 gy roll temp (see kern)
     return 2 * (main + halo_b + gy_b) + gk + concat + rolled
 
 
@@ -281,7 +281,7 @@ def conv2d_wgrad(x: jnp.ndarray, gy: jnp.ndarray, kh: int, kw: int
 
     def kern(xm, xh, g_ref, gk_ref):
         rows = jnp.concatenate([xm[0], xh[0]], axis=0) if halo else xm[0]
-        g2 = g_ref[0].reshape(th * wpp, cout)
+        g3 = g_ref[0]  # (th, wpp, cout)
         first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
         @pl.when(first)
@@ -289,9 +289,16 @@ def conv2d_wgrad(x: jnp.ndarray, gy: jnp.ndarray, kh: int, kw: int
             gk_ref[...] = jnp.zeros_like(gk_ref)
 
         for dj in range(kw):
-            xr = pltpu.roll(rows, wpp - dj, 1) if dj else rows
+            # shift gy RIGHT by dj instead of x left by dj (same sum after
+            # re-indexing; the wrapped head columns land on gy's zero pad,
+            # wpp - wo >= kw-1). Mosaic cannot rotate bf16 vectors
+            # ("Rotate with non-32-bit data", v5e probe) — roll through an
+            # exact f32 roundtrip, like the forward rolls its f32 accum.
+            gj = (pltpu.roll(g3.astype(jnp.float32), dj, 1).astype(dtype)
+                  if dj else g3)
+            g2 = gj.reshape(th * wpp, cout)
             for di in range(kh):
-                xs = xr[di:di + th].reshape(th * wpp, cin)
+                xs = rows[di:di + th].reshape(th * wpp, cin)
                 gk_ref[di, dj] += jax.lax.dot_general(
                     xs, g2, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)

@@ -304,38 +304,38 @@ def _vmem_use_bwd(tm: int, c: int, hidden: int, itemsize: int) -> int:
 
 
 def _pick_rows_bwd(h: int, w: int, c: int, hidden: int, itemsize: int):
-    best = None
+    # DIVIDING tiles only: the bwd kernel accumulates dw/db blocks across
+    # grid steps with no tail masking, so a partial last tile would fold
+    # out-of-bounds rows into the weight gradients
     for th in range(min(h, max(1, _TM_MAX // max(w, 1))), 0, -1):
         if _vmem_use_bwd(th * w, c, hidden, itemsize) >= _VMEM_BUDGET * 2:
             continue
-        if best is None:
-            best = th
         if h % th == 0:
             return th
-    return best
+    return None
 
 
 def _pick_tile_bwd(m: int, c: int, hidden: int, itemsize: int):
     sub = 16 if itemsize == 2 else 8
     cap = min(_TM_MAX, max(sub, (m // sub) * sub))
-    best = None
     for tm in range(cap, sub - 1, -sub):
         if _vmem_use_bwd(tm, c, hidden, itemsize) >= _VMEM_BUDGET * 2:
             continue
-        if best is None:
-            best = tm
-        if m % tm == 0:
+        if m % tm == 0:  # dividing only — see _pick_rows_bwd
             return tm
-    return best
+    return None
 
 
 def bwd_fits_shape(shape, hidden: int, itemsize: int = 2) -> bool:
     c = shape[-1]
     if c % 128 or hidden % 128:
         return False
-    if len(shape) == 4:
-        return _pick_rows_bwd(shape[1], shape[2], c, hidden,
-                              itemsize) is not None
+    if len(shape) == 4 and _pick_rows_bwd(shape[1], shape[2], c, hidden,
+                                          itemsize) is not None:
+        return True
+    # 4-D shapes whose full-width row tile busts VMEM (FuXi: 320-wide rows
+    # at c=1024/h=4096 next to 33 MB of f32 dw accumulators) flatten to the
+    # 2-D path — LN/FF are rowwise, so the reshape is exact and free
     m = 1
     for d in shape[:-1]:
         m *= d
@@ -362,6 +362,15 @@ def fused_ff_bwd(x, ct, g, b, w1, b1, w2, b2, interpret=None,
 
     def row(v):
         return v.reshape(1, -1).astype(x.dtype)
+
+    if x.ndim == 4 and _pick_rows_bwd(x.shape[1], x.shape[2], c, hidden,
+                                      itemsize) is None:
+        # full-width row tiles bust VMEM (see bwd_fits_shape) — flatten to
+        # the 2-D row-tiled form; exact, dx reshaped back below
+        outs = fused_ff_bwd(x.reshape(-1, c), ct.reshape(-1, c), g, b,
+                            w1, b1, w2, b2, interpret=interpret,
+                            post_norm=post_norm)
+        return (outs[0].reshape(x.shape),) + outs[1:]
 
     if x.ndim == 4:
         bsz, h, w, _ = x.shape

@@ -22,6 +22,7 @@ collection and are never EMA'd).
 from __future__ import annotations
 
 import csv
+import functools
 import logging
 import os
 import time
@@ -412,6 +413,23 @@ class Trainer:
             self._tp = self._dom = 1
         self.dp = dp
 
+        # trainer.parallelism.halo: gspmd (default) lets XLA insert halo
+        # exchanges for domain-sharded convs; explicit routes size-preserving
+        # stride-1 convs through the parallel/halo.py ppermute ring (3x fewer
+        # collective-permutes; re-measure on real ICI before making it the
+        # default — docs/PERF.md halo table). Config-flippable so the ICI
+        # measurement needs no code change (reference: credit/domain_parallel/
+        # halo_exchange.py:20 is always-explicit).
+        halo_mode = str(((conf.get("trainer", {}) or {}).get("parallelism")
+                         or {}).get("halo", "gspmd"))
+        self._halo_ctx = None
+        if (halo_mode == "explicit" and self.mesh is not None
+                and self._dom > 1):
+            from credit_tpu.ops import conv as _conv_ops
+
+            mesh = self.mesh
+            self._halo_ctx = lambda: _conv_ops.explicit_halo(mesh)
+
         from credit_tpu.trainers.scheduler import load_scheduler
 
         self.schedule = load_scheduler(conf)
@@ -499,9 +517,9 @@ class Trainer:
         # donate the state: params/moments/EMA buffers are reused in place
         # by XLA instead of allocating a second copy per step (~2 GB saved
         # at flagship scale); fit() never touches the donated input again
-        self._train_step = jax.jit(make_train_step(
+        self._train_step = jax.jit(self._with_halo(make_train_step(
             model, loss_fn, self.optimizer, schema, self.forecast_len,
-            self.backprop_on, **self._step_kw), donate_argnums=(0,))
+            self.backprop_on, **self._step_kw)), donate_argnums=(0,))
         self._step_cache = {self.forecast_len: self._train_step}
         # scheduled-rollout sampling: anneal the epoch's rollout length from
         # short to forecast_len (reference: scheduler.py:220
@@ -513,11 +531,27 @@ class Trainer:
         # losses/__init__.py CRPS_LOSSES gate on trainer.ensemble_size)
         eval_ens = (max(self.ensemble_size, 2)
                     if getattr(valid_loss_fn, "is_ensemble", False) else 1)
-        self._eval_step = jax.jit(make_eval_step(
+        self._eval_step = jax.jit(self._with_halo(make_eval_step(
             model, valid_loss_fn, schema, self.forecast_len, self.history_len,
             normalizer=normalizer, ensemble_size=eval_ens,
             metrics_fn=self.metrics_fn, preblocks=tuple(pre_step),
-            preblocks_ic=tuple(pre_ic), postblocks=tuple(post)))
+            preblocks_ic=tuple(pre_ic), postblocks=tuple(post))))
+
+    def _with_halo(self, fn):
+        """Wrap a step fn so tracing happens inside the explicit-halo
+        context (trainer.parallelism.halo: explicit) — conv2d reads the
+        contextvar at trace time. Identity when the mode is gspmd."""
+        if self._halo_ctx is None:
+            return fn
+
+        ctx = self._halo_ctx
+
+        @functools.wraps(fn)
+        def wrapped(*a, **k):
+            with ctx():
+                return fn(*a, **k)
+
+        return wrapped
 
     def _train_step_for(self, flen: int, donate: bool = True):
         """Jitted train step for a scheduled rollout length (cached per
@@ -529,9 +563,10 @@ class Trainer:
             if key not in self._step_cache:
                 bp = ([b for b in self.backprop_on if b < flen] or [flen - 1]
                       if self.backprop_on else None)
-                self._step_cache[key] = jax.jit(make_train_step(
-                    self.model, self.loss_fn, self.optimizer, self.schema,
-                    flen, bp, **self._step_kw))
+                self._step_cache[key] = jax.jit(self._with_halo(
+                    make_train_step(
+                        self.model, self.loss_fn, self.optimizer, self.schema,
+                        flen, bp, **self._step_kw)))
             return self._step_cache[key]
         if flen not in self._step_cache:
             # keep truncated-backprop semantics under rollout_schedule: if
@@ -541,9 +576,10 @@ class Trainer:
             # and its memory profile (advisor round-2 medium finding)
             bp = ([b for b in self.backprop_on if b < flen] or [flen - 1]
                   if self.backprop_on else None)
-            self._step_cache[flen] = jax.jit(make_train_step(
-                self.model, self.loss_fn, self.optimizer, self.schema,
-                flen, bp, **self._step_kw), donate_argnums=(0,))
+            self._step_cache[flen] = jax.jit(self._with_halo(
+                make_train_step(
+                    self.model, self.loss_fn, self.optimizer, self.schema,
+                    flen, bp, **self._step_kw)), donate_argnums=(0,))
         return self._step_cache[flen]
 
     def _scheduled_forecast_len(self, epoch: int, seed: int) -> int:
