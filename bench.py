@@ -641,8 +641,11 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
         out["batch"] = batch
     if not spectral_norm:
         out["note"] = "spectral_norm off (module over tunnel body limit)"
-    if not remat:
+    if remat is False:
         out["note"] = (out.get("note", "") + " remat off").strip()
+    elif not isinstance(remat, bool):
+        out["note"] = (out.get("note", "")
+                       + f" remat stages {remat}").strip()
     if pallas:
         out["note"] = (out.get("note", "") + " pallas train path").strip()
     print(json.dumps(out), flush=True)
@@ -652,6 +655,11 @@ def _train_entry(bf16: bool, batch: int):
     """Training bench with the SN-off fallback (module-size guard)."""
     sn = "--nosn" not in sys.argv
     remat = "--noremat" not in sys.argv
+    if "--remat-stages" in sys.argv:
+        # per-stage remat mask, e.g. --remat-stages 1100 (recompute only
+        # the big early stages); see models/crossformer.py remat
+        mask = sys.argv[sys.argv.index("--remat-stages") + 1]
+        remat = [c == "1" for c in mask]
     pallas = "--pallas" in sys.argv
     try:
         run_train_bench(bf16=bf16, spectral_norm=sn, batch=batch,

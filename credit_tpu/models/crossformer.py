@@ -74,7 +74,11 @@ class CrossFormer(BaseModel):
     padding_conf: Any = None
     use_interp: bool = True  # alias used by some configs
     compute_dtype: Any = jnp.float32
-    remat: bool = False
+    # remat: bool, or a per-stage sequence like [1, 1, 0, 0] — recompute
+    # only where activations are large (stage 0/1); the late small stages
+    # keep their activations and skip the recompute tax (reference
+    # analogue: models/__init__.py:193 per-module AC policy table)
+    remat: Any = False
     scan_blocks: bool = False  # scan-over-layers: one block graph per stage
     use_pallas_attention: bool = False
     # fused Pallas FF blocks (ops/pallas_ff.py): 'auto' (DEFAULT — on for
@@ -161,8 +165,10 @@ class CrossFormer(BaseModel):
         for i in range(4):
             x = CrossEmbedLayer(dims[i], ksizes[i], strides[i], use_sn=sn,
                                 dtype=dt, name=f"cel{i}")(x, train)
+            rm = (bool(self.remat) if isinstance(self.remat, (bool, int))
+                  else bool(_tup(self.remat)[i]))
             x = Transformer(dims[i], depths[i], lws[i], gws[i], self.dim_head,
-                            use_sn=sn, dtype=dt, remat=self.remat,
+                            use_sn=sn, dtype=dt, remat=rm,
                             use_pallas=self.use_pallas_attention,
                             ff_fuse=self.ff_fusion,
                             scan_blocks=self.scan_blocks,

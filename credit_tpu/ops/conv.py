@@ -165,16 +165,25 @@ def _pallas_valid_conv(x, kernel, bias, accum_dtype):
     """Stride-1 VALID conv with the conv emitter taken out of the graph:
     1x1 -> GEMM; small kernels -> im2col shift-GEMM (several small-kernel
     flagship shapes crash the Mosaic-compiled kernel at runtime with an
-    opaque INTERNAL error — see pallas_conv.im2col_conv); large kernels ->
-    the blocked Pallas kernel when it supports the shape; None when nothing
-    applies (caller falls back to lax)."""
+    opaque INTERNAL error — see pallas_conv.im2col_conv) or, under
+    CREDIT_SMALL_CONV=pad4, the blocked kernel with the kernel zero-padded
+    to 4x4 (the crashes were all 2x2/3x3 — kernel size looks like the
+    discriminator; wasted taps but no kh*kw patch-volume materialization);
+    large kernels -> the blocked Pallas kernel when it supports the shape;
+    None when nothing applies (caller falls back to lax)."""
+    import os
+
     from credit_tpu.ops import pallas_conv as pc
 
     kh, kw = kernel.shape[0], kernel.shape[1]
     if kh == 1 and kw == 1:
         out = pc.matmul_1x1(x, kernel.astype(x.dtype))
     elif kh < 4 or kw < 4:
-        out = pc.im2col_conv(x, kernel)
+        out = None
+        if os.environ.get("CREDIT_SMALL_CONV", "im2col") == "pad4":
+            out = pc.conv_small_pad4(x, kernel.astype(x.dtype))
+        if out is None:
+            out = pc.im2col_conv(x, kernel)
     elif pc.supports(x.shape, kernel.shape, x.dtype):
         out = pc.conv2d_valid(x, kernel.astype(x.dtype))
     else:

@@ -330,6 +330,25 @@ def conv2d_wgrad(x: jnp.ndarray, gy: jnp.ndarray, kh: int, kw: int
     return gk[:, :, :cin0, :]
 
 
+def conv_small_pad4(x: jnp.ndarray, kernel: jnp.ndarray):
+    """Small-kernel (kh<4 or kw<4) stride-1 VALID conv via the blocked
+    kernel with the KERNEL zero-padded to >=4x4 and the input extended by
+    the same amount at the bottom/right: out rows stay hp-kh+1 and the
+    zero taps contribute nothing — bitwise-identical output, no im2col
+    patch-volume materialization. Round-4's Mosaic crashes were all at
+    2x2/3x3 kernels while every >=4 kernel passed, so padded-to-4 is the
+    crash workaround candidate (VERDICT round-4 ask; probe before
+    defaulting: tools/probe_small_pad4.py). Returns None when the padded
+    shape is unsupported (caller uses im2col)."""
+    kh, kw, cin, cout = kernel.shape
+    kh2, kw2 = max(kh, 4), max(kw, 4)
+    xp = jnp.pad(x, ((0, 0), (0, kh2 - kh), (0, kw2 - kw), (0, 0)))
+    kp = jnp.pad(kernel, ((0, kh2 - kh), (0, kw2 - kw), (0, 0), (0, 0)))
+    if not supports(xp.shape, kp.shape, x.dtype):
+        return None
+    return conv2d_valid(xp, kp)
+
+
 def _taploop_gk(x, gy, kh, kw):
     """gk as kh*kw strided-slice GEMMs — pure XLA (slice/dot), exact.
 

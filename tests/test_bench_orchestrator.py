@@ -68,6 +68,20 @@ def test_default_plan_order_and_headline(bench, monkeypatch, capsys):
     assert {m["metric"] for m in out} == {
         "wxformer_1deg_40step_rollout", "wxformer_025deg_rollout",
         "fuxi_640x1280_rollout", "wxformer_025deg_train_step"}
+    # the default train stage measures the backward-kernel path (round 5:
+    # 537 -> 440 ms/step); rollout stages don't get the flag
+    flags = dict(calls)
+    assert "--pallas" in flags["train"]
+    assert "--pallas" not in flags["025"]
+
+
+def test_xla_mode_train_stage_pins_baseline(bench, monkeypatch):
+    behavior = {"train": [_metric("wxformer_025deg_train_step", 1.9)]}
+    calls = _patch_stages(monkeypatch, bench, behavior)
+    bench.orchestrate(bf16=True, batch=1, pallas=False, selectors=())
+    flags = dict(calls)
+    assert "--pallas" not in flags["train"]
+    assert "--xla" in flags["train"]
 
 
 def test_headline_falls_back_to_provisional_then_1deg(bench, monkeypatch,

@@ -215,3 +215,22 @@ class TestConvEmitterFreeBackward:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_conv_small_pad4_matches_im2col():
+    """Padded-to-4x4 blocked-kernel form of small convs (the Mosaic
+    small-kernel crash workaround candidate, CREDIT_SMALL_CONV=pad4):
+    zero taps contribute nothing, output must be bitwise-equal math."""
+    import numpy as np
+
+    from credit_tpu.ops import pallas_conv as pc
+
+    rng = np.random.default_rng(21)
+    for kshape in ((2, 2, 8, 16), (3, 3, 8, 8), (1, 3, 8, 8)):
+        x = jnp.asarray(rng.standard_normal((1, 14, 18, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal(kshape) * 0.1, jnp.float32)
+        y = pc.conv_small_pad4(x, k)
+        ref = pc.im2col_conv(x, k)
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
