@@ -451,7 +451,12 @@ def _ff_fwd(x2d, g, b, w1, b1, w2, b2, post_norm):
 def _ff_bwd(post_norm, res, ct):
     x, g, b, w1, b1, w2, b2 = res
     hidden = w1.shape[-1]
-    if (os.environ.get("CREDIT_FF_BWD", "kernel") == "kernel" and on_tpu()
+    # single-chip only: the bwd kernel is an unpartitioned pallas_call —
+    # under a mesh it would force gathers; multi-chip training falls back
+    # to the XLA recompute VJP, which GSPMD partitions natively (the dw
+    # psum comes out of the partitioner for free)
+    if (os.environ.get("CREDIT_FF_BWD", "kernel") == "kernel"
+            and single_chip_tpu()
             and bwd_fits_shape(x.shape, hidden, x.dtype.itemsize)):
         dx, dg, db, dw1, db1, dw2, db2 = fused_ff_bwd(
             x, ct, g, b, w1, b1, w2, b2, post_norm=post_norm)

@@ -40,6 +40,10 @@ def build(steps: int, batch: int, remat: bool):
     conf, h, w, frames = _bench_conf("025", bf16=True)
     conf["model"]["remat"] = remat
     conf["model"]["scan_blocks"] = True
+    if "--pallas" in sys.argv:
+        # the round-5 training default: conv-emitter-free fwd AND bwd
+        conf["model"]["pallas_conv"] = "force"
+        conf["model"]["ff_fusion"] = "force"
     conf["trainer"] = {"learning_rate": 1e-4, "flatten_optimizer": True}
     schema = ChannelSchema.from_config(conf)
     model = load_model(conf)
