@@ -518,11 +518,13 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
         # this very measurement.
         conf["model"]["pallas_conv"] = "force"
         conf["model"]["ff_fusion"] = "force"
-    if kind != "fuxi":
-        # scan-over-layers: the unrolled flagship TRAINING graph serializes
-        # to 8.7 MB of StableHLO and the remote-compile tunnel rejects it
-        # (HTTP 413); scanning the depth-8 stage drops it to 3.3 MB
-        conf["model"]["scan_blocks"] = True
+    # scan-over-layers everywhere: the unrolled flagship TRAINING graph
+    # serializes to 8.7 MB of StableHLO and the remote-compile tunnel
+    # rejects it (HTTP 413); scanning the depth-8 stage drops it to 3.3 MB.
+    # For FuXi the motivation is MEMORY: the unrolled 16-block graph keeps
+    # per-block saved buffers alive (20.3 G > 15.75 G hbm at batch 1);
+    # scanning the block pairs lets XLA reuse one block's buffers.
+    conf["model"]["scan_blocks"] = True
     # flat optimizer: identical AdamW math on one concatenated vector —
     # drops ~0.9 MB of per-leaf update chains from the serialized module,
     # which is what lets the SN-ON flagship step fit the tunnel body limit
@@ -652,7 +654,9 @@ def run_train_bench(bf16: bool, kind: str = "025", steps: int = 3,
 
 
 def _train_entry(bf16: bool, batch: int):
-    """Training bench with the SN-off fallback (module-size guard)."""
+    """Training bench with the SN-off fallback (module-size guard).
+    --fuxi measures the FuXi training step instead of the flagship."""
+    kind = "fuxi" if "--fuxi" in sys.argv else "025"
     sn = "--nosn" not in sys.argv
     remat = "--noremat" not in sys.argv
     if "--remat-stages" in sys.argv:
@@ -662,13 +666,13 @@ def _train_entry(bf16: bool, batch: int):
         remat = [c == "1" for c in mask]
     pallas = "--pallas" in sys.argv
     try:
-        run_train_bench(bf16=bf16, spectral_norm=sn, batch=batch,
+        run_train_bench(bf16=bf16, kind=kind, spectral_norm=sn, batch=batch,
                         remat=remat, pallas=pallas)
     except RuntimeError as e:
         if sn and "too large" in str(e):
             log("bench: SN-on module over the tunnel limit; SN-off")
-            run_train_bench(bf16=bf16, spectral_norm=False, batch=batch,
-                            remat=remat, pallas=pallas)
+            run_train_bench(bf16=bf16, kind=kind, spectral_norm=False,
+                            batch=batch, remat=remat, pallas=pallas)
         else:
             raise
 

@@ -432,6 +432,7 @@ def _bwd(res, gy):
 conv2d_valid.defvjp(_fwd, _bwd)
 
 
+@jax.custom_vjp
 def im2col_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Small-kernel stride-1 VALID conv as shifted-slice concat + ONE GEMM —
     plain XLA ops (slice/concatenate/dot), so the graph stays conv-emitter-
@@ -445,9 +446,44 @@ def im2col_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     (tools/probe_conv_bisect.py), so small kernels route here instead.
     Cost: the patch tensor reads/writes kh*kw activation volumes (vs ~1 for
     the Pallas kernel), acceptable for the stage-1+ embeds and decoder
-    convs, which are small next to stage 0. Natively differentiable.
+    convs, which are small next to stage 0.
+
+    Custom VJP (round 5): XLA's autodiff of the concat+GEMM re-materializes
+    the kh*kw-wide patch tensor in the backward (concat transpose + the
+    patches operand of the gk GEMM). Instead: gx = ONE im2col GEMM of the
+    padded cotangent with the flipped/io-swapped kernel (full-correlation
+    identity), gk = tap-loop strided-slice GEMMs reading x in place.
+    CREDIT_IM2COL_GRAD=xla restores autodiff for A/B runs.
     """
     return im2col_conv_strided(x, kernel, (1, 1))
+
+
+def _im2col_fwd(x, kernel):
+    return im2col_conv_strided(x, kernel, (1, 1)), (x, kernel)
+
+
+def _im2col_bwd(res, gy):
+    x, kernel = res
+    # DEFAULT IS AUTODIFF: the manual form measured SLOWER on the flagship
+    # training step (458.0 vs 440.5 ms — XLA's concat-transpose fusions
+    # beat the taploop gk's kh*kw re-reads of x; docs/PERF.md round-5
+    # negative results). CREDIT_IM2COL_GRAD=manual keeps it for A/B.
+    if os.environ.get("CREDIT_IM2COL_GRAD", "xla") == "xla":
+        _, vjp = jax.vjp(
+            lambda a, b: im2col_conv_strided(a, b, (1, 1)), *res)
+        return vjp(gy)
+    kh, kw, cin, cout = kernel.shape
+    gyx = gy.astype(x.dtype)
+    k_flip = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)  # (kh,kw,Cout,Cin)
+    gy_pad = jnp.pad(gyx, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1),
+                           (0, 0)))
+    gx = im2col_conv_strided(gy_pad, k_flip.astype(gyx.dtype),
+                             (1, 1)).astype(x.dtype)
+    gk = _taploop_gk(x, gyx, kh, kw).astype(kernel.dtype)
+    return gx, gk
+
+
+im2col_conv.defvjp(_im2col_fwd, _im2col_bwd)
 
 
 def im2col_conv_strided(x: jnp.ndarray, kernel: jnp.ndarray,

@@ -221,16 +221,28 @@ def rk4_step(apply_fn, x: jnp.ndarray) -> jnp.ndarray:
 
 def make_scan_rollout(model, schema: ChannelSchema, n_steps: int,
                       history_len: int = 1, with_forcing: bool = False,
-                      unroll: int = 1):
+                      unroll: int = 1, mesh=None):
     """Fully on-device N-step rollout as one lax.scan — a single dispatch,
     no host round-trips between steps (the BASELINE.json north-star
     requirement). Returns (final_x, per-step per-channel means) so the
     whole chain materializes.
 
     run(variables, x0[, forcings]) where forcings: (S, B, 1, H, W, n_dyn).
+
+    mesh: pass the domain-sharded Mesh to trace under the explicit-halo
+    context — convs run per-shard inside shard_map (ops/conv.explicit_halo)
+    and the models' pallas 'auto' gates stay ON multi-chip.
     """
 
     def run(variables, x0, forcings=None):
+        if mesh is not None:
+            from credit_tpu.ops.conv import explicit_halo
+
+            with explicit_halo(mesh):
+                return _run(variables, x0, forcings)
+        return _run(variables, x0, forcings)
+
+    def _run(variables, x0, forcings=None):
         def advance(x, y_pred, f):
             new_frame = schema.update_x(x[:, -1:], y_pred[:, -1:], f)
             if history_len > 1:

@@ -234,3 +234,32 @@ def test_conv_small_pad4_matches_im2col():
         assert y.shape == ref.shape
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_im2col_custom_vjp_matches_autodiff(monkeypatch):
+    """im2col_conv's MANUAL VJP branch (im2col-of-cotangent gx + taploop
+    gk; measured slower on TPU, kept for A/B via CREDIT_IM2COL_GRAD) must
+    equal XLA autodiff of the same composition."""
+    import numpy as np
+
+    from credit_tpu.ops import pallas_conv as pc
+
+    monkeypatch.setenv("CREDIT_IM2COL_GRAD", "manual")
+
+    rng = np.random.default_rng(31)
+    for kshape in ((2, 2, 8, 16), (3, 3, 8, 8)):
+        x = jnp.asarray(rng.standard_normal((2, 12, 14, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal(kshape) * 0.1, jnp.float32)
+
+        def loss_custom(a, b):
+            return jnp.sum(pc.im2col_conv(a, b) ** 2)
+
+        def loss_ref(a, b):
+            return jnp.sum(pc.im2col_conv_strided(a, b, (1, 1)) ** 2)
+
+        gx, gk = jax.grad(loss_custom, argnums=(0, 1))(x, k)
+        rx, rk = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                                   rtol=1e-4, atol=1e-4)

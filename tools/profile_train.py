@@ -93,6 +93,9 @@ def main():
     ap.add_argument("--noremat", action="store_true")
     ap.add_argument("--out", default="/tmp/credit_tpu_profile_train")
     ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="round-5 training default: conv-emitter-free "
+                         "fwd+bwd kernels")
     args = ap.parse_args()
     if not args.report_only:
         c, state, batch = build(args.steps, args.batch,
