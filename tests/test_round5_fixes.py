@@ -249,3 +249,42 @@ def test_bwd_tile_pickers_divisor_only():
     assert tm is not None and 51200 % tm == 0
     # prime row count with an over-VMEM full-width tile: nothing divides
     assert pallas_ff._pick_tile_bwd(97, 1024, 4096, 2) in (None,)
+
+
+def test_scan_rollout_mesh_seam_parity():
+    """make_scan_rollout(mesh=...) — the domain-sharded inference seam —
+    must reproduce the single-device trajectory (CPU-mesh analogue of the
+    multichip dryrun gate)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from credit_tpu.data.channels import ChannelSchema
+    from credit_tpu.models import load_model
+    from credit_tpu.parallel.mesh import build_mesh
+    from credit_tpu.rollout import make_scan_rollout
+
+    conf = {
+        "model": {"type": "debugger", "image_height": 16, "image_width": 24,
+                  "channels": 0, "surface_channels": 2, "levels": 0,
+                  "input_only_channels": 0, "output_only_channels": 0},
+        "data": {"source": {"ERA5": {"variables": {
+            "prognostic": {"vars_2D": ["T2M", "SP"]}}}}},
+    }
+    schema = ChannelSchema.from_config(conf)
+    model = load_model(conf)
+    rng = np.random.default_rng(17)
+    x0 = jnp.asarray(rng.standard_normal((2, 1, 16, 24, schema.n_input)),
+                     jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+    roll = make_scan_rollout(model, schema, 3, history_len=1,
+                             with_forcing=False)
+    ref, _ = jax.jit(roll)(variables, x0)
+
+    mesh = build_mesh(dp=2, tp=1, domain=4)
+    roll_m = make_scan_rollout(model, schema, 3, history_len=1,
+                               with_forcing=False, mesh=mesh)
+    xs = jax.device_put(x0, NamedSharding(
+        mesh, P("dp", None, "domain", None, None)))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    got, _ = jax.jit(roll_m)(vs, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
