@@ -97,6 +97,63 @@ def enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _param_cache_path(kind: str, conf: dict):
+    """Disk cache for the converged+folded synthetic bench params: they
+    are random-init + deterministic spectral converge, so only the config
+    matters — a warm cache turns the 170-470 s init+converge one-time cost
+    of each rollout stage into a file read (round-4 postmortem ask)."""
+    import hashlib
+
+    base = os.environ.get("BENCH_PARAM_CACHE",
+                          os.path.expanduser("~/.cache/credit_tpu/params"))
+    if not base:
+        return None
+    h = hashlib.sha256(("v1:" + kind + ":" + json.dumps(
+        conf["model"], sort_keys=True, default=str)).encode()).hexdigest()[:16]
+    return os.path.join(base, f"{kind}-{h}.npz")
+
+
+def _param_cache_load(path):
+    import numpy as _np
+
+    from flax.traverse_util import unflatten_dict
+
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with _np.load(path) as z:
+            flat = {tuple(k.split("\x1f")): z[k] for k in z.files}
+        return {"params": unflatten_dict(flat)}
+    except Exception as e:
+        log(f"bench: param cache unreadable ({e}) — re-deriving")
+        return None
+
+
+def _param_cache_save(path, variables):
+    import numpy as _np
+
+    from flax.traverse_util import flatten_dict
+
+    if not path:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        flat = flatten_dict(variables["params"])
+        # keep original dtypes (int tables etc.); only bf16 upcasts to f32
+        # (npz has no bfloat16; the bench re-casts after load anyway)
+        arrs = {"\x1f".join(k): (_np.asarray(v, _np.float32)
+                                 if str(getattr(v, "dtype", "")) == "bfloat16"
+                                 else _np.asarray(v))
+                for k, v in flat.items()}
+        tmp = path + ".tmp.npz"  # savez appends .npz to bare names
+        _np.savez(tmp, **arrs)
+        os.replace(tmp, path)
+        log(f"bench: cached folded params -> {path} "
+            f"({os.path.getsize(path) / 1e6:.0f} MB)")
+    except Exception as e:
+        log(f"bench: param cache save failed ({e}) — continuing")
+
+
 def _bench_abort(unit: str, msg: str):
     print(json.dumps({"metric": "bench_error", "value": 0, "unit": unit,
                       "vs_baseline": 0}), flush=True)
@@ -310,31 +367,39 @@ def run_bench(flagship: bool, bf16: bool, kind: str = None, batch: int = 1,
                            jnp.float32) * 0.5
     if bf16:
         x0 = x0.astype(jnp.bfloat16)  # carry rides bf16 end-to-end
-    t0 = time.time()
-    variables = jax.jit(model.init)(rng, x0)
-    jax.block_until_ready(variables)
-    log(f"[{tag}] init: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    from credit_tpu.models.spectral_utils import (converge_spectral,
-                                                  converge_spectral_device)
-
-    from credit_tpu.models.spectral_utils import fold_spectral
-
-    if dev.platform == "tpu":
-        # on-device converge: one jitted dispatch instead of streaming the
-        # full param tree over the tunnel (minutes for 124M params)
-        variables = converge_spectral_device(variables)
+    ppath = _param_cache_path(kind, conf)
+    variables = _param_cache_load(ppath)
+    if variables is not None:
+        log(f"[{tag}] folded params from cache ({ppath}) — "
+            f"init+converge skipped")
     else:
-        variables = converge_spectral(variables)  # f32, host-side
-    variables = fold_spectral(variables)  # kernels <- kernels/sigma, f32
+        t0 = time.time()
+        variables = jax.jit(model.init)(rng, x0)
+        jax.block_until_ready(variables)
+        log(f"[{tag}] init: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        from credit_tpu.models.spectral_utils import (
+            converge_spectral, converge_spectral_device)
+
+        from credit_tpu.models.spectral_utils import fold_spectral
+
+        if dev.platform == "tpu":
+            # on-device converge: one jitted dispatch instead of streaming
+            # the full param tree over the tunnel (minutes for 124M params)
+            variables = converge_spectral_device(variables)
+        else:
+            variables = converge_spectral(variables)  # f32, host-side
+        variables = fold_spectral(variables)  # kernels <- kernels/sigma
+        log(f"[{tag}] spectral converge: {time.time() - t0:.1f}s")
+        _param_cache_save(ppath, variables)  # f32, pre-cast
     if bf16:
         # cast params ONCE — each rollout step then reads half the HBM
         # bytes for weights (the dominant traffic at batch 1)
         variables = {"params": jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16)
-            if p.dtype == jnp.float32 else p, variables["params"])}
+            if jnp.asarray(p).dtype == jnp.float32 else p,
+            variables["params"])}
     variables = jax.device_put(variables)
-    log(f"[{tag}] spectral converge + cast: {time.time() - t0:.1f}s")
 
     # NOTE: through the remote-TPU tunnel block_until_ready returns at
     # enqueue, so the only reliable sync point is a host transfer. We time

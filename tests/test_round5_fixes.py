@@ -288,3 +288,36 @@ def test_scan_rollout_mesh_seam_parity():
     got, _ = jax.jit(roll_m)(vs, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bench_param_cache_roundtrip(tmp_path, monkeypatch):
+    """The rollout bench's folded-param disk cache (skips the 170-470 s
+    init+converge on warm runs) must round-trip the param tree exactly,
+    preserving non-float dtypes, and key distinct configs apart."""
+    import numpy as onp
+
+    import bench
+
+    monkeypatch.setenv("BENCH_PARAM_CACHE", str(tmp_path))
+    tree = {"params": {
+        "enc": {"kernel": onp.ones((3, 3, 4, 8), onp.float32),
+                "bias": onp.zeros((8,), onp.float32)},
+        "table": {"idx": onp.arange(6, dtype=onp.int32)},
+    }}
+    conf_a = {"model": {"type": "crossformer", "dim": [8]}}
+    conf_b = {"model": {"type": "crossformer", "dim": [16]}}
+    pa = bench._param_cache_path("tiny", conf_a)
+    pb = bench._param_cache_path("tiny", conf_b)
+    assert pa != pb
+    assert bench._param_cache_load(pa) is None
+    bench._param_cache_save(pa, tree)
+    got = bench._param_cache_load(pa)
+    assert got is not None
+    assert got["params"]["table"]["idx"].dtype == onp.int32
+    onp.testing.assert_array_equal(got["params"]["enc"]["kernel"],
+                                   tree["params"]["enc"]["kernel"])
+    assert set(got["params"]) == {"enc", "table"}
+    # corrupt file -> load degrades to None (bench re-derives)
+    with open(pa, "wb") as f:
+        f.write(b"junk")
+    assert bench._param_cache_load(pa) is None
